@@ -1,0 +1,223 @@
+"""Paged decode attention as a Pallas TPU kernel.
+
+One decode step reads each sequence's KV history from a shared HBM page pool
+through its block table — the memory layout that makes 64+ concurrent
+interview sessions fit on a v5e-8 (BASELINE.md build targets) without
+per-slot max-length cache reservations.
+
+Kernel shape:
+
+* Grid ``(batch, kv_heads)``.  Block tables + sequence lengths arrive via
+  scalar prefetch (SMEM) so the kernel can compute page addresses before the
+  body runs.
+* K/V pages stay in HBM (``memory_space=ANY``); the kernel streams them
+  page-by-page into a double-buffered VMEM scratch with ``make_async_copy``,
+  overlapping the next page's DMA with the current page's math — decode is
+  HBM-bandwidth-bound, so the kernel's job is to keep the copy engine busy.
+* GQA: the ``q_per_kv`` query heads of one kv head are processed together as
+  the sublane dimension of a skinny matmul (padded to >=8 for f32 tiling).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG_INF = -1e30
+
+
+def _default_interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _paged_kernel(
+    bt_ref,      # [B, MP] int32 scalar-prefetch: block tables
+    lens_ref,    # [B] int32 scalar-prefetch: lengths incl. current token
+    q_ref,       # [1, 1, Gp, HD] VMEM
+    kp_ref,      # [KV, N, P, HD] HBM (ANY)
+    vp_ref,      # [KV, N, P, HD] HBM (ANY)
+    o_ref,       # [1, 1, Gp, HD] VMEM
+    k_buf,       # [2, P, HD] VMEM scratch
+    v_buf,       # [2, P, HD] VMEM scratch
+    sems,        # [2, 2] DMA semaphores
+    *,
+    page_size: int,
+    scale: float,
+):
+    b = pl.program_id(0)
+    kv = pl.program_id(1)
+
+    n = lens_ref[b]
+    num_pages = pl.cdiv(n, page_size)
+
+    def k_copy(slot, p):
+        return pltpu.make_async_copy(
+            kp_ref.at[kv, bt_ref[b, p]], k_buf.at[slot], sems.at[0, slot]
+        )
+
+    def v_copy(slot, p):
+        return pltpu.make_async_copy(
+            vp_ref.at[kv, bt_ref[b, p]], v_buf.at[slot], sems.at[1, slot]
+        )
+
+    k_copy(0, 0).start()
+    v_copy(0, 0).start()
+
+    q = q_ref[0, 0].astype(jnp.float32) * scale  # [Gp, HD]
+    gp, hd = q.shape
+    pos_in_page = jax.lax.broadcasted_iota(
+        jnp.int32, (gp, page_size), dimension=1
+    )
+
+    def body(p, carry):
+        m_prev, l_prev, acc_prev = carry
+        slot = jax.lax.rem(p, 2)
+        next_slot = jax.lax.rem(p + 1, 2)
+
+        @pl.when(p + 1 < num_pages)
+        def _():
+            k_copy(next_slot, p + 1).start()
+            v_copy(next_slot, p + 1).start()
+
+        k_copy(slot, p).wait()
+        v_copy(slot, p).wait()
+
+        k = k_buf[slot].astype(jnp.float32)  # [P, HD]
+        v = v_buf[slot].astype(jnp.float32)
+
+        s = jax.lax.dot_general(
+            q,
+            k,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [Gp, P]
+        valid = (p * page_size + pos_in_page) < n
+        s = jnp.where(valid, s, _NEG_INF)
+
+        m_cur = jnp.max(s, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        pij = jnp.exp(s - m_new)
+        alpha = jnp.exp(m_prev - m_new)
+        l_new = l_prev * alpha + jnp.sum(pij, axis=-1, keepdims=True)
+        acc_new = acc_prev * alpha + jax.lax.dot_general(
+            pij,
+            v,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return m_new, l_new, acc_new
+
+    m0 = jnp.full((gp, 1), _NEG_INF, dtype=jnp.float32)
+    l0 = jnp.zeros((gp, 1), dtype=jnp.float32)
+    acc0 = jnp.zeros((gp, hd), dtype=jnp.float32)
+    _, l, acc = jax.lax.fori_loop(0, num_pages, body, (m0, l0, acc0))
+
+    l = jnp.where(l == 0.0, 1.0, l)
+    o_ref[0, 0] = (acc / l).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def paged_attention(
+    q: jax.Array,
+    k_pages: jax.Array,
+    v_pages: jax.Array,
+    block_tables: jax.Array,
+    seq_lens: jax.Array,
+    *,
+    interpret: bool | None = None,
+):
+    """Decode-step attention over a paged KV cache.
+
+    Args:
+      q: ``[B, H, HD]`` — this step's queries (one token per sequence).
+      k_pages, v_pages: ``[KV, N_PAGES, PAGE, HD]`` shared page pools.
+      block_tables: ``[B, MAX_PAGES]`` int32 page ids per sequence
+        (page id 0 is the reserved trash page; unused entries may be 0).
+      seq_lens: ``[B]`` int32 lengths *including* the current token.
+
+    Returns:
+      ``[B, H, HD]`` attention outputs.
+    """
+    if interpret is None:
+        interpret = _default_interpret()
+    B, H, HD = q.shape
+    KV, N, P, _ = k_pages.shape
+    if HD % 128 != 0 and not interpret:
+        # Mosaic can only DMA-slice page pools whose trailing dim fills whole
+        # 128-lane tiles; sub-128 head dims (small/test models) take the XLA
+        # gather path instead.  All production presets use head_dim >= 128.
+        return paged_attention_reference(
+            q, k_pages, v_pages, block_tables, seq_lens
+        )
+    assert H % KV == 0
+    g = H // KV
+    gp = max(g, 8)
+
+    # [B, H, HD] -> [B, KV, Gp, HD] with sublane padding for the skinny matmul.
+    qg = q.reshape(B, KV, g, HD)
+    if gp != g:
+        qg = jnp.pad(qg, ((0, 0), (0, 0), (0, gp - g), (0, 0)))
+
+    scale = HD ** -0.5
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B, KV),
+        in_specs=[
+            pl.BlockSpec((1, 1, gp, HD), lambda b, kv, bt, lens: (b, kv, 0, 0)),
+            # Page pools must stay in HBM: ANY lets Mosaic promote small
+            # pools to VMEM, where dynamic leading-dim slices for the DMA
+            # hit tiled-layout alignment limits.
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, gp, HD), lambda b, kv, bt, lens: (b, kv, 0, 0)
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, P, HD), k_pages.dtype),
+            pltpu.VMEM((2, P, HD), v_pages.dtype),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+    )
+    kernel = functools.partial(_paged_kernel, page_size=P, scale=scale)
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, KV, gp, HD), q.dtype),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(
+        block_tables.astype(jnp.int32),
+        seq_lens.astype(jnp.int32),
+        qg,
+        k_pages,
+        v_pages,
+    )
+    return out[:, :, :g, :].reshape(B, H, HD)
+
+
+def paged_attention_reference(q, k_pages, v_pages, block_tables, seq_lens):
+    """jnp reference (gathers pages densely) used to validate the kernel."""
+    B, H, HD = q.shape
+    KV, N, P, _ = k_pages.shape
+    MP = block_tables.shape[1]
+    # [KV, B, MP, P, HD] -> [B, S_max, KV, HD]
+    k = k_pages[:, block_tables].transpose(1, 2, 3, 0, 4).reshape(
+        B, MP * P, KV, HD
+    )
+    v = v_pages[:, block_tables].transpose(1, 2, 3, 0, 4).reshape(
+        B, MP * P, KV, HD
+    )
+    k = jnp.repeat(k, H // KV, axis=2)
+    v = jnp.repeat(v, H // KV, axis=2)
+    s = jnp.einsum(
+        "bhd,bkhd->bhk", q.astype(jnp.float32), k.astype(jnp.float32)
+    ) * (HD ** -0.5)
+    valid = jnp.arange(MP * P)[None, :] < seq_lens[:, None]
+    s = jnp.where(valid[:, None, :], s, _NEG_INF)
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("bhk,bkhd->bhd", p, v.astype(jnp.float32)).astype(q.dtype)

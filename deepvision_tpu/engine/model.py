@@ -1,0 +1,318 @@
+"""Pure-JAX decoder-only transformer (Llama/Gemma family) for serving.
+
+Written TPU-first rather than ported (the reference has no model code; its
+inference is remote HTTP — reference web/server.py:26860 ``call_claude``):
+
+* Parameters are a pytree whose block leaves carry a leading layer axis, so
+  the forward pass is a single ``lax.scan`` over layers — one compile, MXU
+  stays hot, and the paged KV cache rides the scan as per-layer xs/ys.
+* The same code runs single-device or as the per-shard body of a
+  ``shard_map`` tensor-parallel mesh: pass ``axis="model"`` and the two
+  Megatron-style ``psum``s per layer (attention out-proj, MLP down-proj) plus
+  a vocab ``all_gather`` for logits become real ICI collectives; with
+  ``axis=None`` they are identity.
+* Attention uses the Pallas kernels (flash for prefill, paged for decode).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from deepvision_tpu.engine.config import ModelConfig
+from deepvision_tpu.engine.kernels.flash_attention import flash_attention
+from deepvision_tpu.engine.kernels.paged_attention import paged_attention
+from deepvision_tpu.engine.kv_cache import (
+    write_decode_token,
+    write_prefill_pages,
+)
+
+
+# ---------------------------------------------------------------------------
+# Building blocks
+# ---------------------------------------------------------------------------
+
+def rms_norm(x: jax.Array, scale: jax.Array, eps: float) -> jax.Array:
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(jnp.square(xf), axis=-1, keepdims=True)
+    normed = xf * jax.lax.rsqrt(var + eps)
+    return (normed * (1.0 + scale.astype(jnp.float32))).astype(x.dtype)
+
+
+def _rope_angles(positions: jax.Array, head_dim: int, theta: float):
+    """positions: [...]; returns cos/sin of shape [..., head_dim//2]."""
+    half = head_dim // 2
+    freq = 1.0 / (
+        theta ** (jnp.arange(0, half, dtype=jnp.float32) / half)
+    )
+    ang = positions.astype(jnp.float32)[..., None] * freq
+    return jnp.cos(ang), jnp.sin(ang)
+
+
+def apply_rope(x: jax.Array, positions: jax.Array, theta: float) -> jax.Array:
+    """Rotary embedding, rotate-half convention.
+
+    x: ``[..., n_heads, head_dim]``; positions broadcastable to ``x.shape[:-2]``.
+    """
+    half = x.shape[-1] // 2
+    cos, sin = _rope_angles(positions, x.shape[-1], theta)
+    cos = cos[..., None, :]  # add head axis
+    sin = sin[..., None, :]
+    x1 = x[..., :half].astype(jnp.float32)
+    x2 = x[..., half:].astype(jnp.float32)
+    out = jnp.concatenate(
+        [x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1
+    )
+    return out.astype(x.dtype)
+
+
+def _psum(x: jax.Array, axis: Optional[str]) -> jax.Array:
+    return jax.lax.psum(x, axis) if axis else x
+
+
+def _mlp(x, blk, axis):
+    gate = jnp.dot(x, blk["w_gate"], preferred_element_type=jnp.bfloat16)
+    up = jnp.dot(x, blk["w_up"], preferred_element_type=jnp.bfloat16)
+    h = jax.nn.silu(gate.astype(jnp.float32)).astype(x.dtype) * up
+    down = jnp.dot(h, blk["w_down"], preferred_element_type=jnp.float32)
+    return _psum(down, axis).astype(x.dtype)
+
+
+def _logits(x, params, cfg: ModelConfig, axis: Optional[str]):
+    """x: [..., D] final hidden -> [..., V] fp32 logits.
+
+    The embedding / lm_head matrix is kept replicated in the round-1 shard
+    plan (see :mod:`deepvision_tpu.engine.parallel`), so no collective is
+    needed here.
+    """
+    if cfg.tie_embeddings:
+        w = params["embed"].T  # [D, V]
+    else:
+        w = params["lm_head"]
+    logits = jnp.dot(
+        x.astype(jnp.float32), w.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    )
+    if cfg.logit_softcap:
+        logits = cfg.logit_softcap * jnp.tanh(logits / cfg.logit_softcap)
+    return logits
+
+
+# ---------------------------------------------------------------------------
+# Prefill
+# ---------------------------------------------------------------------------
+
+def forward_prefill(
+    params,
+    cache,
+    tokens: jax.Array,        # [B, S] int32, right-padded to bucket S
+    seq_lens: jax.Array,      # [B] int32 true lengths
+    prefill_pages: jax.Array,  # [B, S // page] destination page ids
+    *,
+    cfg: ModelConfig,
+    axis: Optional[str] = None,
+    interpret: Optional[bool] = None,
+):
+    """Run the prompt through the model, writing K/V pages.
+
+    Returns ``(last_logits [B, V], new_cache)``.
+    """
+    B, S = tokens.shape
+    x = jnp.take(params["embed"], tokens, axis=0).astype(jnp.bfloat16)
+    if cfg.scale_embeddings:
+        x = x * jnp.asarray(cfg.d_model ** 0.5, dtype=x.dtype)
+    positions = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32), (B, S))
+
+    def layer(x, xs):
+        blk, k_pages_l, v_pages_l = xs
+        h = rms_norm(x, blk["ln1"], cfg.rms_eps)
+        q = jnp.dot(h, blk["wq"], preferred_element_type=jnp.bfloat16)
+        k = jnp.dot(h, blk["wk"], preferred_element_type=jnp.bfloat16)
+        v = jnp.dot(h, blk["wv"], preferred_element_type=jnp.bfloat16)
+        n_heads_local = q.shape[-1] // cfg.head_dim
+        n_kv_local = k.shape[-1] // cfg.head_dim
+        q = q.reshape(B, S, n_heads_local, cfg.head_dim)
+        k = k.reshape(B, S, n_kv_local, cfg.head_dim)
+        v = v.reshape(B, S, n_kv_local, cfg.head_dim)
+        q = apply_rope(q, positions, cfg.rope_theta)
+        k = apply_rope(k, positions, cfg.rope_theta)
+
+        k_pages_l, v_pages_l = write_prefill_pages(
+            k_pages_l, v_pages_l, k, v, prefill_pages
+        )
+
+        attn = flash_attention(
+            q.transpose(0, 2, 1, 3),
+            k.transpose(0, 2, 1, 3),
+            v.transpose(0, 2, 1, 3),
+            seq_lens,
+            interpret=interpret,
+        )  # [B, Hl, S, HD]
+        attn = attn.transpose(0, 2, 1, 3).reshape(
+            B, S, n_heads_local * cfg.head_dim
+        )
+        out = jnp.dot(attn, blk["wo"], preferred_element_type=jnp.float32)
+        x = x + _psum(out, axis).astype(x.dtype)
+        h2 = rms_norm(x, blk["ln2"], cfg.rms_eps)
+        x = x + _mlp(h2, blk, axis)
+        return x, (k_pages_l, v_pages_l)
+
+    x, (k_new, v_new) = jax.lax.scan(
+        layer, x, (params["blocks"], cache["k"], cache["v"])
+    )
+    x = rms_norm(x, params["final_norm"], cfg.rms_eps)
+    # Gather each sequence's last valid hidden state.
+    last = jnp.take_along_axis(
+        x, (seq_lens - 1)[:, None, None].astype(jnp.int32), axis=1
+    )[:, 0]
+    logits = _logits(last, params, cfg, axis)
+    return logits, {"k": k_new, "v": v_new}
+
+
+# ---------------------------------------------------------------------------
+# Decode
+# ---------------------------------------------------------------------------
+
+def forward_decode(
+    params,
+    cache,
+    tokens: jax.Array,        # [B] int32 current tokens
+    seq_lens: jax.Array,      # [B] int32 lengths INCLUDING current token
+    block_tables: jax.Array,  # [B, MAX_PAGES]
+    *,
+    cfg: ModelConfig,
+    axis: Optional[str] = None,
+    interpret: Optional[bool] = None,
+):
+    """One continuous-batching decode step.  Returns ``(logits, new_cache)``."""
+    B = tokens.shape[0]
+    x = jnp.take(params["embed"], tokens, axis=0).astype(jnp.bfloat16)
+    if cfg.scale_embeddings:
+        x = x * jnp.asarray(cfg.d_model ** 0.5, dtype=x.dtype)
+    positions = (seq_lens - 1).astype(jnp.int32)  # [B]
+
+    def layer(x, xs):
+        blk, k_pages_l, v_pages_l = xs
+        h = rms_norm(x, blk["ln1"], cfg.rms_eps)
+        q = jnp.dot(h, blk["wq"], preferred_element_type=jnp.bfloat16)
+        k = jnp.dot(h, blk["wk"], preferred_element_type=jnp.bfloat16)
+        v = jnp.dot(h, blk["wv"], preferred_element_type=jnp.bfloat16)
+        n_heads_local = q.shape[-1] // cfg.head_dim
+        n_kv_local = k.shape[-1] // cfg.head_dim
+        q = q.reshape(B, n_heads_local, cfg.head_dim)
+        k = k.reshape(B, n_kv_local, cfg.head_dim)
+        v = v.reshape(B, n_kv_local, cfg.head_dim)
+        q = apply_rope(q, positions, cfg.rope_theta)
+        k = apply_rope(k, positions, cfg.rope_theta)
+
+        k_pages_l, v_pages_l = write_decode_token(
+            k_pages_l, v_pages_l, k, v, block_tables, positions
+        )
+        attn = paged_attention(
+            q, k_pages_l, v_pages_l, block_tables, seq_lens,
+            interpret=interpret,
+        )  # [B, Hl, HD]
+        attn = attn.reshape(B, n_heads_local * cfg.head_dim)
+        out = jnp.dot(attn, blk["wo"], preferred_element_type=jnp.float32)
+        x = x + _psum(out, axis).astype(x.dtype)
+        h2 = rms_norm(x, blk["ln2"], cfg.rms_eps)
+        x = x + _mlp(h2, blk, axis)
+        return x, (k_pages_l, v_pages_l)
+
+    x, (k_new, v_new) = jax.lax.scan(
+        layer, x, (params["blocks"], cache["k"], cache["v"])
+    )
+    x = rms_norm(x, params["final_norm"], cfg.rms_eps)
+    logits = _logits(x, params, cfg, axis)
+    return logits, {"k": k_new, "v": v_new}
+
+
+# ---------------------------------------------------------------------------
+# Teaching/training forward (no cache) — used by the training step and tests.
+# ---------------------------------------------------------------------------
+
+def forward_train(
+    params,
+    tokens: jax.Array,  # [B, S]
+    *,
+    cfg: ModelConfig,
+    axis: Optional[str] = None,
+    interpret: Optional[bool] = None,
+    use_kernel: bool = False,
+):
+    """Full-sequence forward returning ``[B, S, V]`` logits (fp32).
+
+    No KV cache; suitable for fine-tuning / eval.  ``use_kernel=False`` keeps
+    attention in plain XLA so the whole step is differentiable (the Pallas
+    flash kernel has no VJP yet); set ``use_kernel=True`` for inference-only
+    full-sequence scoring.
+    """
+    from deepvision_tpu.engine.kernels.flash_attention import (
+        flash_attention_reference,
+    )
+    attn_fn = flash_attention if use_kernel else flash_attention_reference
+    B, S = tokens.shape
+    x = jnp.take(params["embed"], tokens, axis=0).astype(jnp.bfloat16)
+    if cfg.scale_embeddings:
+        x = x * jnp.asarray(cfg.d_model ** 0.5, dtype=x.dtype)
+    positions = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32), (B, S))
+    seq_lens = jnp.full((B,), S, dtype=jnp.int32)
+
+    def layer(x, blk):
+        h = rms_norm(x, blk["ln1"], cfg.rms_eps)
+        q = jnp.dot(h, blk["wq"], preferred_element_type=jnp.bfloat16)
+        k = jnp.dot(h, blk["wk"], preferred_element_type=jnp.bfloat16)
+        v = jnp.dot(h, blk["wv"], preferred_element_type=jnp.bfloat16)
+        n_heads_local = q.shape[-1] // cfg.head_dim
+        n_kv_local = k.shape[-1] // cfg.head_dim
+        q = apply_rope(
+            q.reshape(B, S, n_heads_local, cfg.head_dim), positions,
+            cfg.rope_theta,
+        )
+        k = apply_rope(
+            k.reshape(B, S, n_kv_local, cfg.head_dim), positions,
+            cfg.rope_theta,
+        )
+        v = v.reshape(B, S, n_kv_local, cfg.head_dim)
+        if use_kernel:
+            attn = attn_fn(
+                q.transpose(0, 2, 1, 3),
+                k.transpose(0, 2, 1, 3),
+                v.transpose(0, 2, 1, 3),
+                seq_lens,
+                interpret=interpret,
+            )
+        else:
+            attn = attn_fn(
+                q.transpose(0, 2, 1, 3),
+                k.transpose(0, 2, 1, 3),
+                v.transpose(0, 2, 1, 3),
+                seq_lens,
+            )
+        attn = attn.transpose(0, 2, 1, 3).reshape(
+            B, S, n_heads_local * cfg.head_dim
+        )
+        out = jnp.dot(attn, blk["wo"], preferred_element_type=jnp.float32)
+        x = x + _psum(out, axis).astype(x.dtype)
+        h2 = rms_norm(x, blk["ln2"], cfg.rms_eps)
+        x = x + _mlp(h2, blk, axis)
+        return x, None
+
+    x, _ = jax.lax.scan(layer, x, params["blocks"])
+    x = rms_norm(x, params["final_norm"], cfg.rms_eps)
+    if cfg.tie_embeddings:
+        w = params["embed"].T
+    else:
+        w = params["lm_head"]
+    logits = jnp.dot(
+        x.astype(jnp.float32), w.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    )
+    if axis:
+        logits = jax.lax.all_gather(logits, axis, axis=-1, tiled=True)
+    if cfg.logit_softcap:
+        logits = cfg.logit_softcap * jnp.tanh(logits / cfg.logit_softcap)
+    return logits

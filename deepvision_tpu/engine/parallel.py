@@ -1,0 +1,110 @@
+"""Device mesh + tensor-parallel shard plan (pjit/shard_map over ICI).
+
+The reference has no distributed compute at all (SURVEY.md §2.2); this module
+is the TPU-native equivalent of the scaling story its remote gateways
+outsourced.  Round-1 plan is Megatron-style tensor parallelism over a single
+``("data", "model")`` mesh:
+
+* attention qkv/out and MLP up/down projections are sharded on the head /
+  feature axis of the ``model`` mesh axis; two ``psum``s per layer ride ICI;
+* the KV page pool shards its kv-head axis when divisible, otherwise the
+  cache (and wk/wv) replicate and only query heads shard — this is what makes
+  MQA models (n_kv_heads=1, e.g. the Gemma-2B-class preset) still TP-scalable;
+* embeddings / lm_head stay replicated (vocab sharding is a later round).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from deepvision_tpu.engine.config import ModelConfig
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(
+    n_model: Optional[int] = None,
+    n_data: int = 1,
+    devices=None,
+) -> Mesh:
+    """Create a ``(data, model)`` mesh; defaults to all devices on model."""
+    if devices is None:
+        devices = jax.devices()
+    if n_model is None:
+        n_model = len(devices) // n_data
+    devs = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
+    return Mesh(devs, (DATA_AXIS, MODEL_AXIS))
+
+
+@dataclasses.dataclass(frozen=True)
+class ShardPlan:
+    """How a given model shards over ``n_model`` chips."""
+
+    n_model: int
+    kv_sharded: bool
+
+    @classmethod
+    def for_model(cls, cfg: ModelConfig, n_model: int) -> "ShardPlan":
+        if cfg.n_heads % n_model != 0:
+            raise ValueError(
+                f"n_heads={cfg.n_heads} not divisible by TP degree {n_model}"
+            )
+        if cfg.d_ff % n_model != 0:
+            raise ValueError(
+                f"d_ff={cfg.d_ff} not divisible by TP degree {n_model}"
+            )
+        return cls(
+            n_model=n_model, kv_sharded=cfg.n_kv_heads % n_model == 0
+        )
+
+    # -- PartitionSpecs ------------------------------------------------
+
+    def param_specs(self, cfg: ModelConfig) -> dict:
+        kv = P(None, None, MODEL_AXIS) if self.kv_sharded else P(None, None, None)
+        specs = {
+            "embed": P(None, None),
+            "final_norm": P(None),
+            "blocks": {
+                "ln1": P(None, None),
+                "ln2": P(None, None),
+                "wq": P(None, None, MODEL_AXIS),
+                "wk": kv,
+                "wv": kv,
+                "wo": P(None, MODEL_AXIS, None),
+                "w_gate": P(None, None, MODEL_AXIS),
+                "w_up": P(None, None, MODEL_AXIS),
+                "w_down": P(None, MODEL_AXIS, None),
+            },
+        }
+        if not cfg.tie_embeddings:
+            specs["lm_head"] = P(None, None)
+        return specs
+
+    def cache_specs(self) -> dict:
+        # [L, KV, N_PAGES, PAGE, HD] — shard kv-head axis when possible.
+        spec = (
+            P(None, MODEL_AXIS, None, None, None)
+            if self.kv_sharded
+            else P(None, None, None, None, None)
+        )
+        return {"k": spec, "v": spec}
+
+
+def named_shardings(mesh: Mesh, specs):
+    return jax.tree.map(
+        lambda s: NamedSharding(mesh, s),
+        specs,
+        is_leaf=lambda x: isinstance(x, P),
+    )
+
+
+def shard_params(params, mesh: Mesh, plan: ShardPlan, cfg: ModelConfig):
+    """Place a (host or single-device) param pytree onto the mesh."""
+    shardings = named_shardings(mesh, plan.param_specs(cfg))
+    return jax.tree.map(jax.device_put, params, shardings)

@@ -1,0 +1,207 @@
+"""ModelRunner: owns params + paged cache and the jitted step functions.
+
+One runner = one model replica.  The continuous-batching scheduler calls:
+
+* ``prefill(tokens, pages, sampling)``  — run one prompt, write its KV pages,
+  sample the first output token on-device (only 4 bytes cross PCIe).
+* ``decode(batch_state)``               — one decode step for all active slots.
+
+Prompt lengths are padded to power-of-two-ish buckets so each bucket compiles
+once; the decode batch is a fixed-size slot array (inactive slots point at
+the trash page), so decode compiles exactly once.  Sampling params live in
+device arrays indexed per slot — no recompiles across requests.
+
+Multi-chip: pass a mesh + ShardPlan and every step function is wrapped in
+``shard_map`` with Megatron TP specs from
+:mod:`deepvision_tpu.engine.parallel`; the KV cache lives sharded on-device.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from deepvision_tpu.engine import model as model_lib
+from deepvision_tpu.engine.config import ModelConfig
+from deepvision_tpu.engine.kv_cache import CacheConfig, init_cache
+from deepvision_tpu.engine.parallel import ShardPlan, named_shardings
+from deepvision_tpu.engine.sampling import sample_tokens
+
+PREFILL_BUCKETS = (128, 256, 512, 1024, 2048, 4096, 8192)
+
+
+def pick_bucket(n: int, buckets: Sequence[int] = PREFILL_BUCKETS) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    raise ValueError(f"prompt of {n} tokens exceeds max bucket {buckets[-1]}")
+
+
+class ModelRunner:
+    def __init__(
+        self,
+        cfg: ModelConfig,
+        cache_cfg: CacheConfig,
+        params,
+        *,
+        max_slots: int = 16,
+        mesh: Optional[Mesh] = None,
+        plan: Optional[ShardPlan] = None,
+        interpret: Optional[bool] = None,
+        rng_seed: int = 0,
+    ):
+        self.cfg = cfg
+        self.cache_cfg = cache_cfg
+        self.max_slots = max_slots
+        self.mesh = mesh
+        self.plan = plan
+        self.interpret = interpret
+        self._rng = jax.random.PRNGKey(rng_seed)
+
+        axis = None
+        if mesh is not None:
+            assert plan is not None
+            axis = "model"
+            cache_shardings = named_shardings(mesh, plan.cache_specs())
+            self.cache = jax.tree.map(
+                lambda leaf, s: jax.device_put(leaf, s),
+                init_cache(cfg, cache_cfg),
+                cache_shardings,
+            )
+            self.params = params  # caller pre-shards via parallel.shard_params
+        else:
+            self.cache = init_cache(cfg, cache_cfg)
+            self.params = jax.device_put(params)
+
+        self._prefill_fns = {}
+        self._decode_fn = None
+        self._axis = axis
+
+    # ------------------------------------------------------------------
+    # Step-function builders
+    # ------------------------------------------------------------------
+
+    def _wrap(self, fn, cache_in_tree_spec):
+        """Wrap a step fn in shard_map when running on a mesh."""
+        if self.mesh is None:
+            return fn
+        from jax.experimental.shard_map import shard_map
+
+        plan, cfg = self.plan, self.cfg
+        param_specs = plan.param_specs(cfg)
+        cache_specs = plan.cache_specs()
+
+        def spec_tree(template, repl=P()):
+            return jax.tree.map(lambda _: repl, template)
+
+        in_specs = (
+            param_specs,
+            cache_specs,
+        ) + tuple(P() for _ in range(cache_in_tree_spec))
+        out_specs = (P(), cache_specs)
+        return shard_map(
+            fn,
+            mesh=self.mesh,
+            in_specs=in_specs,
+            out_specs=out_specs,
+            check_rep=False,
+        )
+
+    def _build_prefill(self, bucket: int):
+        cfg, interpret, axis = self.cfg, self.interpret, self._axis
+
+        def step(params, cache, tokens, seq_lens, pages, rng, temp, topk, topp):
+            logits, cache = model_lib.forward_prefill(
+                params, cache, tokens, seq_lens, pages,
+                cfg=cfg, axis=axis, interpret=interpret,
+            )
+            tok = sample_tokens(logits, rng, temp, topk, topp)
+            return tok, cache
+
+        wrapped = self._wrap(step, 7)
+        return jax.jit(wrapped, donate_argnums=(1,))
+
+    def _build_decode(self):
+        cfg, interpret, axis = self.cfg, self.interpret, self._axis
+
+        def step(params, cache, tokens, seq_lens, block_tables, rng, temp,
+                 topk, topp):
+            logits, cache = model_lib.forward_decode(
+                params, cache, tokens, seq_lens, block_tables,
+                cfg=cfg, axis=axis, interpret=interpret,
+            )
+            tok = sample_tokens(logits, rng, temp, topk, topp)
+            return tok, cache
+
+        wrapped = self._wrap(step, 7)
+        return jax.jit(wrapped, donate_argnums=(1,))
+
+    # ------------------------------------------------------------------
+    # Public API (numpy in/out; called from the scheduler thread)
+    # ------------------------------------------------------------------
+
+    def next_rng(self):
+        self._rng, sub = jax.random.split(self._rng)
+        return sub
+
+    def prefill(
+        self,
+        token_ids: Sequence[int],
+        page_ids: Sequence[int],
+        *,
+        temperature: float = 0.0,
+        top_k: int = 0,
+        top_p: float = 1.0,
+    ) -> int:
+        """Prefill one prompt; returns the first sampled output token id."""
+        n = len(token_ids)
+        bucket = pick_bucket(n)
+        page = self.cache_cfg.page_size
+        n_chunks = bucket // page
+        toks = np.zeros((1, bucket), dtype=np.int32)
+        toks[0, :n] = np.asarray(token_ids, dtype=np.int32)
+        # Only the pages covering the prompt are written during prefill;
+        # callers may pass extra growth pages (they go in the decode block
+        # table), and chunks past the prompt scatter into the trash page.
+        used = min(len(page_ids), n_chunks)
+        pages = np.zeros((1, n_chunks), dtype=np.int32)
+        pages[0, :used] = np.asarray(page_ids[:used], dtype=np.int32)
+        seq_lens = np.asarray([n], dtype=np.int32)
+
+        if bucket not in self._prefill_fns:
+            self._prefill_fns[bucket] = self._build_prefill(bucket)
+        fn = self._prefill_fns[bucket]
+        tok, self.cache = fn(
+            self.params, self.cache, jnp.asarray(toks),
+            jnp.asarray(seq_lens), jnp.asarray(pages), self.next_rng(),
+            jnp.asarray([temperature], jnp.float32),
+            jnp.asarray([top_k], jnp.int32),
+            jnp.asarray([top_p], jnp.float32),
+        )
+        return int(tok[0])
+
+    def decode(
+        self,
+        tokens: np.ndarray,        # [B] int32
+        seq_lens: np.ndarray,      # [B] int32 incl. current token
+        block_tables: np.ndarray,  # [B, MAX_PAGES] int32
+        temperature: np.ndarray,
+        top_k: np.ndarray,
+        top_p: np.ndarray,
+    ) -> np.ndarray:
+        if self._decode_fn is None:
+            self._decode_fn = self._build_decode()
+        tok, self.cache = self._decode_fn(
+            self.params, self.cache, jnp.asarray(tokens, jnp.int32),
+            jnp.asarray(seq_lens, jnp.int32),
+            jnp.asarray(block_tables, jnp.int32), self.next_rng(),
+            jnp.asarray(temperature, jnp.float32),
+            jnp.asarray(top_k, jnp.int32),
+            jnp.asarray(top_p, jnp.float32),
+        )
+        return np.asarray(tok)
