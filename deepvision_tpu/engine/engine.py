@@ -1,0 +1,187 @@
+"""LLMEngine — the front door one model replica exposes to the app.
+
+Owns tokenizer + runner + page allocator + continuous-batching scheduler and
+exposes a synchronous ``generate_text`` with the latency metadata contract
+the app's metrics system expects (the reference recorded queue_wait/lane/
+model per AI call at web/server.py:26634; here those numbers come from the
+local scheduler instead of a remote gateway).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import threading
+import time
+from typing import Optional, Sequence
+
+from deepvision_tpu.engine.config import ModelConfig, get_model_config
+from deepvision_tpu.engine.kv_cache import CacheConfig, PageAllocator
+from deepvision_tpu.engine.runner import ModelRunner
+from deepvision_tpu.engine.scheduler import (
+    HIGH,
+    ContinuousBatchingScheduler,
+    GenerationRequest,
+    GenerationResult,
+)
+from deepvision_tpu.engine.tokenizer import get_tokenizer
+from deepvision_tpu.engine.weights import load_or_init
+
+
+@dataclasses.dataclass
+class EngineConfig:
+    model: str = "dv-1b"
+    tokenizer: str = "byte"
+    checkpoint_dir: Optional[str] = None
+    max_slots: int = 8
+    num_pages: int = 2048
+    page_size: int = 64
+    max_pages_per_seq: int = 64
+    tp: int = 1                      # tensor-parallel degree
+    max_pending: int = 64
+    prefills_per_step: int = 1
+    strict_priority: bool = False
+    seed: int = 0
+    interpret: Optional[bool] = None
+
+
+class LLMEngine:
+    def __init__(self, cfg: EngineConfig, model_cfg: Optional[ModelConfig] = None):
+        self.cfg = cfg
+        self.model_cfg = model_cfg or get_model_config(cfg.model)
+        self.tokenizer = get_tokenizer(cfg.tokenizer)
+        self.cache_cfg = CacheConfig(
+            num_pages=cfg.num_pages,
+            page_size=cfg.page_size,
+            max_pages_per_seq=cfg.max_pages_per_seq,
+        )
+        params = load_or_init(self.model_cfg, cfg.checkpoint_dir, cfg.seed)
+
+        mesh = plan = None
+        if cfg.tp > 1:
+            from deepvision_tpu.engine.parallel import (
+                ShardPlan,
+                make_mesh,
+                shard_params,
+            )
+
+            mesh = make_mesh(n_model=cfg.tp)
+            plan = ShardPlan.for_model(self.model_cfg, cfg.tp)
+            params = shard_params(params, mesh, plan, self.model_cfg)
+
+        self.runner = ModelRunner(
+            self.model_cfg,
+            self.cache_cfg,
+            params,
+            max_slots=cfg.max_slots,
+            mesh=mesh,
+            plan=plan,
+            interpret=cfg.interpret,
+            rng_seed=cfg.seed,
+        )
+        self.allocator = PageAllocator(cfg.num_pages)
+        self.scheduler = ContinuousBatchingScheduler(
+            self.runner,
+            self.allocator,
+            max_slots=cfg.max_slots,
+            max_pending=cfg.max_pending,
+            prefills_per_step=cfg.prefills_per_step,
+            strict_priority=cfg.strict_priority,
+        )
+        self._started = False
+        self._start_lock = threading.Lock()
+
+    # ------------------------------------------------------------------
+
+    def start(self) -> None:
+        with self._start_lock:
+            if not self._started:
+                self.scheduler.start()
+                self._started = True
+
+    def shutdown(self) -> None:
+        with self._start_lock:
+            if self._started:
+                self.scheduler.shutdown()
+                self._started = False
+
+    # ------------------------------------------------------------------
+
+    def submit_tokens(
+        self,
+        prompt_tokens: Sequence[int],
+        **kw,
+    ) -> GenerationRequest:
+        self.start()
+        kw.setdefault("stop_token_ids", [self.tokenizer.eos_id])
+        req = GenerationRequest(prompt_tokens, **kw)
+        return self.scheduler.submit(req)
+
+    def generate_text(
+        self,
+        prompt: str,
+        *,
+        max_tokens: int = 256,
+        temperature: float = 0.0,
+        top_k: int = 0,
+        top_p: float = 1.0,
+        priority: int = HIGH,
+        timeout: Optional[float] = 120.0,
+        request_id: Optional[str] = None,
+    ):
+        """Blocking text generation.  Returns ``(text, meta dict)``.
+
+        Raises TimeoutError if the deadline expires (the request is
+        cancelled engine-side so its slot frees on the next step).
+        """
+        t0 = time.monotonic()
+        prompt_tokens = self.tokenizer.encode(prompt)
+        max_ctx = self.cache_cfg.max_context
+        if len(prompt_tokens) + max_tokens > max_ctx:
+            prompt_tokens = prompt_tokens[-(max_ctx - max_tokens):]
+        req = self.submit_tokens(
+            prompt_tokens,
+            max_tokens=max_tokens,
+            temperature=temperature,
+            top_k=top_k,
+            top_p=top_p,
+            priority=priority,
+            deadline_s=timeout,
+            request_id=request_id,
+        )
+        result = req.wait(timeout)
+        if result is None:
+            req.cancel()
+            raise TimeoutError(
+                f"generation {req.request_id} timed out after {timeout}s"
+            )
+        if result.finish_reason == "error":
+            raise RuntimeError(result.error or "engine generation failed")
+        if result.finish_reason == "timeout":
+            raise TimeoutError(
+                f"generation {req.request_id} hit engine deadline"
+            )
+        text = self.tokenizer.decode(result.token_ids)
+        meta = {
+            "model": self.model_cfg.name,
+            "queue_wait_ms": round(result.queue_wait_ms, 1),
+            "prefill_ms": round(result.prefill_ms, 1),
+            "decode_ms": round(result.decode_ms, 1),
+            "total_ms": round((time.monotonic() - t0) * 1e3, 1),
+            "completion_tokens": len(result.token_ids),
+            "prompt_tokens": len(prompt_tokens),
+            "finish_reason": result.finish_reason,
+        }
+        return text, meta
+
+    # ------------------------------------------------------------------
+
+    def stats(self) -> dict:
+        s = self.scheduler
+        return {
+            "model": self.model_cfg.name,
+            "queues": s.queue_depths(),
+            "tokens_generated": s.tokens_generated,
+            "decode_steps": s.steps,
+            "requests_finished": s.requests_finished,
+            "rejected_overload": s.rejected_overload,
+        }

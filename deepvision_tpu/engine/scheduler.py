@@ -1,0 +1,408 @@
+"""Continuous-batching scheduler with two priority classes.
+
+This is the TPU-native descendant of three reference mechanisms at once
+(SURVEY.md §5.8): the 2-class AI-call priority gate (reference
+web/server.py:4499 — low-priority calls wait while high-priority calls are
+queued), the inflight/pending overload semaphores (web/server.py:548-558),
+and hedged duplicate requests (interview_runtime.py:1284 — here replaced by
+deadline-ordered admission instead of burning duplicate compute).
+
+One scheduler owns one ModelRunner.  The step loop:
+
+1. **Admit**: pop HIGH requests first (deadline-ordered), then LOW only when
+   no HIGH is waiting; each admission runs a bucketed prefill and takes a
+   decode slot + KV pages.
+2. **Decode**: one fixed-shape decode step over all active slots (inactive
+   slots aim at the trash page), sampling on-device.
+3. **Retire**: EOS / max_tokens / page-exhaustion; pages freed, waiters
+   signalled.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import threading
+import time
+from collections import deque
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from deepvision_tpu.engine.kv_cache import PageAllocator, pages_needed
+from deepvision_tpu.engine.runner import ModelRunner
+
+HIGH = 0
+LOW = 1
+
+
+class EngineOverloadedError(RuntimeError):
+    """Pending queue full — the app maps this to 429 + Retry-After
+    (reference build_overload_response, web/server.py:5400)."""
+
+    def __init__(self, msg: str, retry_after_s: float = 2.0):
+        super().__init__(msg)
+        self.retry_after_s = retry_after_s
+
+
+@dataclasses.dataclass
+class GenerationResult:
+    request_id: str
+    token_ids: List[int]
+    finish_reason: str  # "stop" | "length" | "timeout" | "error" | "cancelled"
+    queue_wait_ms: float
+    prefill_ms: float
+    decode_ms: float
+    error: Optional[str] = None
+
+    @property
+    def ok(self) -> bool:
+        return self.finish_reason in ("stop", "length")
+
+
+class GenerationRequest:
+    _counter = 0
+    _counter_lock = threading.Lock()
+
+    def __init__(
+        self,
+        prompt_tokens: Sequence[int],
+        *,
+        max_tokens: int = 256,
+        temperature: float = 0.0,
+        top_k: int = 0,
+        top_p: float = 1.0,
+        stop_token_ids: Optional[Sequence[int]] = None,
+        priority: int = HIGH,
+        deadline_s: Optional[float] = None,
+        request_id: Optional[str] = None,
+    ):
+        if request_id is None:
+            with GenerationRequest._counter_lock:
+                GenerationRequest._counter += 1
+                request_id = f"req-{GenerationRequest._counter}"
+        self.request_id = request_id
+        self.prompt_tokens = list(prompt_tokens)
+        self.max_tokens = max_tokens
+        self.temperature = temperature
+        self.top_k = top_k
+        self.top_p = top_p
+        self.stop_token_ids = set(stop_token_ids or [])
+        self.priority = priority
+        self.submitted_at = time.monotonic()
+        self.deadline = (
+            self.submitted_at + deadline_s if deadline_s else None
+        )
+        self.cancelled = threading.Event()
+        self._done = threading.Event()
+        self._result: Optional[GenerationResult] = None
+
+    # -- waiter side ----------------------------------------------------
+    def wait(self, timeout: Optional[float] = None) -> Optional[GenerationResult]:
+        if self._done.wait(timeout):
+            return self._result
+        return None
+
+    def cancel(self) -> None:
+        self.cancelled.set()
+
+    # -- scheduler side -------------------------------------------------
+    def finish(self, result: GenerationResult) -> None:
+        self._result = result
+        self._done.set()
+
+
+class _ActiveSeq:
+    __slots__ = (
+        "req", "slot", "tokens", "pages", "generated", "prefill_ms",
+        "queue_wait_ms", "decode_start",
+    )
+
+    def __init__(self, req, slot, tokens, pages, queue_wait_ms, prefill_ms):
+        self.req = req
+        self.slot = slot
+        self.tokens = tokens          # prompt + generated so far
+        self.pages = pages            # page ids owned by this sequence
+        self.generated: List[int] = []
+        self.queue_wait_ms = queue_wait_ms
+        self.prefill_ms = prefill_ms
+        self.decode_start = time.monotonic()
+
+
+class ContinuousBatchingScheduler:
+    def __init__(
+        self,
+        runner: ModelRunner,
+        allocator: PageAllocator,
+        *,
+        max_slots: Optional[int] = None,
+        max_pending: int = 64,
+        prefills_per_step: int = 1,
+        strict_priority: bool = True,
+    ):
+        self.runner = runner
+        self.alloc = allocator
+        self.max_slots = max_slots or runner.max_slots
+        self.max_pending = max_pending
+        self.prefills_per_step = prefills_per_step
+        self.strict_priority = strict_priority
+
+        self._queues = {HIGH: deque(), LOW: deque()}
+        self._active: Dict[int, _ActiveSeq] = {}
+        self._free_slots = list(range(self.max_slots - 1, -1, -1))
+        self._lock = threading.Lock()
+        self._work = threading.Event()
+        self._stop = threading.Event()
+        self._thread: Optional[threading.Thread] = None
+
+        # stats
+        self.tokens_generated = 0
+        self.steps = 0
+        self.requests_finished = 0
+        self.rejected_overload = 0
+
+        cache_cfg = runner.cache_cfg
+        self._page_size = cache_cfg.page_size
+        self._max_pages_per_seq = cache_cfg.max_pages_per_seq
+        self._eos_default: Optional[int] = None
+
+    # ------------------------------------------------------------------
+    # Public API
+    # ------------------------------------------------------------------
+
+    def submit(self, req: GenerationRequest) -> GenerationRequest:
+        """Enqueue; raises RuntimeError on overload (429-equivalent,
+        reference build_overload_response web/server.py:5400)."""
+        with self._lock:
+            depth = len(self._queues[HIGH]) + len(self._queues[LOW])
+            if depth >= self.max_pending:
+                self.rejected_overload += 1
+                raise EngineOverloadedError(
+                    "engine overloaded: pending queue full"
+                )
+            self._queues[req.priority].append(req)
+        self._work.set()
+        return req
+
+    def queue_depths(self):
+        with self._lock:
+            return {
+                "high": len(self._queues[HIGH]),
+                "low": len(self._queues[LOW]),
+                "active": len(self._active),
+                "free_slots": len(self._free_slots),
+                "free_pages": self.alloc.available(),
+            }
+
+    def start(self) -> None:
+        if self._thread is not None:
+            return
+        self._stop.clear()
+        self._thread = threading.Thread(
+            target=self._loop, name="dv-engine-scheduler", daemon=True
+        )
+        self._thread.start()
+
+    def shutdown(self, timeout: float = 5.0) -> None:
+        self._stop.set()
+        self._work.set()
+        if self._thread is not None:
+            self._thread.join(timeout)
+            self._thread = None
+
+    # ------------------------------------------------------------------
+    # Engine loop
+    # ------------------------------------------------------------------
+
+    def _loop(self) -> None:
+        while not self._stop.is_set():
+            did_work = self.step()
+            if not did_work:
+                self._work.wait(timeout=0.02)
+                self._work.clear()
+
+    def _pop_next(self) -> Optional[GenerationRequest]:
+        with self._lock:
+            hq, lq = self._queues[HIGH], self._queues[LOW]
+            now = time.monotonic()
+            while hq or lq:
+                if hq:
+                    req = hq.popleft()
+                elif self.strict_priority and self._any_high_running():
+                    return None
+                else:
+                    req = lq.popleft()
+                if req.cancelled.is_set():
+                    req.finish(self._mk_result(req, [], "cancelled", 0, 0, 0))
+                    continue
+                if req.deadline and now > req.deadline:
+                    req.finish(self._mk_result(req, [], "timeout", 0, 0, 0))
+                    continue
+                return req
+        return None
+
+    def _any_high_running(self) -> bool:
+        return any(s.req.priority == HIGH for s in self._active.values())
+
+    def _mk_result(self, req, tokens, reason, qw, pf, dc, error=None):
+        return GenerationResult(
+            request_id=req.request_id,
+            token_ids=tokens,
+            finish_reason=reason,
+            queue_wait_ms=qw,
+            prefill_ms=pf,
+            decode_ms=dc,
+            error=error,
+        )
+
+    def step(self) -> bool:
+        """One admit+decode cycle.  Returns True if any work happened."""
+        admitted = self._admit()
+        decoded = self._decode_step()
+        return admitted or decoded
+
+    # -- admission ------------------------------------------------------
+
+    def _admit(self) -> bool:
+        admitted = False
+        for _ in range(self.prefills_per_step):
+            if not self._free_slots:
+                break
+            req = self._peek_admissible()
+            if req is None:
+                break
+            n_prompt = len(req.prompt_tokens)
+            need = pages_needed(
+                min(n_prompt + req.max_tokens,
+                    self._max_pages_per_seq * self._page_size),
+                self._page_size,
+            )
+            pages = self.alloc.try_alloc(need)
+            if pages is None:
+                # Not enough KV memory — push back and wait for retirements.
+                with self._lock:
+                    self._queues[req.priority].appendleft(req)
+                break
+            queue_wait_ms = (time.monotonic() - req.submitted_at) * 1e3
+            t0 = time.monotonic()
+            try:
+                first = self.runner.prefill(
+                    req.prompt_tokens,
+                    pages,
+                    temperature=req.temperature,
+                    top_k=req.top_k,
+                    top_p=req.top_p,
+                )
+            except Exception as e:  # noqa: BLE001 — engine must not die
+                self.alloc.free(pages)
+                req.finish(
+                    self._mk_result(req, [], "error", queue_wait_ms, 0, 0,
+                                    error=f"{type(e).__name__}: {e}")
+                )
+                continue
+            prefill_ms = (time.monotonic() - t0) * 1e3
+            slot = self._free_slots.pop()
+            seq = _ActiveSeq(
+                req, slot, list(req.prompt_tokens) + [first], pages,
+                queue_wait_ms, prefill_ms,
+            )
+            seq.generated.append(first)
+            self._active[slot] = seq
+            admitted = True
+            if self._seq_finished(seq, first):
+                self._retire(seq, self._finish_reason(seq, first))
+        return admitted
+
+    def _peek_admissible(self) -> Optional[GenerationRequest]:
+        return self._pop_next()
+
+    # -- decode ---------------------------------------------------------
+
+    def _decode_step(self) -> bool:
+        if not self._active:
+            return False
+        B = self.max_slots
+        MP = self._max_pages_per_seq
+        tokens = np.zeros(B, np.int32)
+        lens = np.ones(B, np.int32)
+        bt = np.zeros((B, MP), np.int32)
+        temps = np.zeros(B, np.float32)
+        topk = np.zeros(B, np.int32)
+        topp = np.ones(B, np.float32)
+
+        retire_now: List[_ActiveSeq] = []
+        for slot, seq in self._active.items():
+            new_len = len(seq.tokens) + 1
+            need = pages_needed(new_len, self._page_size)
+            if need > MP:
+                retire_now.append(seq)
+                continue
+            if need > len(seq.pages):
+                extra = self.alloc.try_alloc(need - len(seq.pages))
+                if extra is None:
+                    retire_now.append(seq)  # KV exhausted: finish at length
+                    continue
+                seq.pages.extend(extra)
+            tokens[slot] = seq.tokens[-1]
+            lens[slot] = new_len
+            bt[slot, : len(seq.pages)] = seq.pages
+            temps[slot] = seq.req.temperature
+            topk[slot] = seq.req.top_k
+            topp[slot] = seq.req.top_p
+        for seq in retire_now:
+            self._retire(seq, "length")
+        if not self._active:
+            return bool(retire_now)
+
+        out = self.runner.decode(tokens, lens, bt, temps, topk, topp)
+        self.steps += 1
+
+        finished: List[tuple] = []
+        for slot, seq in self._active.items():
+            tok = int(out[slot])
+            seq.tokens.append(tok)
+            seq.generated.append(tok)
+            self.tokens_generated += 1
+            if self._seq_finished(seq, tok) or seq.req.cancelled.is_set():
+                finished.append((seq, self._finish_reason(seq, tok)))
+        for seq, reason in finished:
+            self._retire(seq, reason)
+        return True
+
+    def _seq_finished(self, seq: _ActiveSeq, tok: int) -> bool:
+        req = seq.req
+        if tok in req.stop_token_ids:
+            return True
+        if len(seq.generated) >= req.max_tokens:
+            return True
+        if req.deadline and time.monotonic() > req.deadline:
+            return True
+        return False
+
+    def _finish_reason(self, seq: _ActiveSeq, tok: int) -> str:
+        req = seq.req
+        if req.cancelled.is_set():
+            return "cancelled"
+        if tok in req.stop_token_ids:
+            return "stop"
+        if len(seq.generated) >= req.max_tokens:
+            return "length"
+        if req.deadline and time.monotonic() > req.deadline:
+            return "timeout"
+        return "length"
+
+    def _retire(self, seq: _ActiveSeq, reason: str) -> None:
+        self._active.pop(seq.slot, None)
+        self._free_slots.append(seq.slot)
+        self.alloc.free(seq.pages)
+        self.requests_finished += 1
+        decode_ms = (time.monotonic() - seq.decode_start) * 1e3
+        gen = seq.generated
+        if reason == "stop" and gen and gen[-1] in seq.req.stop_token_ids:
+            gen = gen[:-1]
+        seq.req.finish(
+            self._mk_result(
+                seq.req, gen, reason, seq.queue_wait_ms, seq.prefill_ms,
+                decode_ms,
+            )
+        )
+        self._work.set()

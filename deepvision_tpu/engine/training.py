@@ -1,0 +1,89 @@
+"""Training/fine-tuning step: DP×TP sharded via GSPMD (pjit).
+
+The serving path uses explicit shard_map + Pallas kernels; the training path
+is pure XLA (dense attention, differentiable end-to-end), so the idiomatic
+TPU route is jit with NamedSharding-placed inputs and letting GSPMD insert
+collectives: batch rides the ``data`` mesh axis, parameters ride ``model``
+per the same shard plan the serving engine uses.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from deepvision_tpu.engine import model as model_lib
+from deepvision_tpu.engine.config import ModelConfig
+from deepvision_tpu.engine.parallel import (
+    DATA_AXIS,
+    ShardPlan,
+    named_shardings,
+    shard_params,
+)
+from deepvision_tpu.engine.weights import init_params
+
+
+def cross_entropy_loss(logits: jax.Array, targets: jax.Array) -> jax.Array:
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    ll = jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
+    return -jnp.mean(ll)
+
+
+def make_train_step(cfg: ModelConfig, tx: optax.GradientTransformation):
+    """Returns jitted ``step(params, opt_state, tokens) -> (params, opt_state, loss)``."""
+
+    def step(params, opt_state, tokens):
+        def loss_fn(p):
+            logits = model_lib.forward_train(p, tokens[:, :-1], cfg=cfg)
+            return cross_entropy_loss(logits, tokens[:, 1:])
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return jax.jit(step, donate_argnums=(0, 1))
+
+
+class Trainer:
+    """Minimal fine-tuning harness over the serving shard plan."""
+
+    def __init__(
+        self,
+        cfg: ModelConfig,
+        mesh: Optional[Mesh] = None,
+        plan: Optional[ShardPlan] = None,
+        learning_rate: float = 1e-4,
+        seed: int = 0,
+    ):
+        self.cfg = cfg
+        self.mesh = mesh
+        self.plan = plan
+        self.tx = optax.adamw(learning_rate)
+        params = init_params(cfg, seed)
+        if mesh is not None:
+            assert plan is not None
+            params = shard_params(params, mesh, plan, cfg)
+        self.params = params
+        self.opt_state = jax.jit(self.tx.init)(params)
+        self._step = make_train_step(cfg, self.tx)
+        self.step_count = 0
+
+    def place_batch(self, tokens):
+        if self.mesh is None:
+            return jnp.asarray(tokens)
+        sharding = NamedSharding(self.mesh, P(DATA_AXIS, None))
+        return jax.device_put(jnp.asarray(tokens), sharding)
+
+    def train_step(self, tokens) -> float:
+        tokens = self.place_batch(tokens)
+        self.params, self.opt_state, loss = self._step(
+            self.params, self.opt_state, tokens
+        )
+        self.step_count += 1
+        return float(loss)
