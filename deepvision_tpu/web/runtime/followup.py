@@ -1,0 +1,260 @@
+"""Follow-up / saturation / evidence engine + assessment scoring.
+
+Re-implements the reference's follow-up decision stack
+(should_follow_up_comprehensive web/server.py:20424, dimension saturation
+:18973, user fatigue :19092, answer-depth eval :20655, forced follow-up
+:19182, similarity dedupe :20059), the evidence/capture contract
+(:19243-21986) and per-answer assessment scoring (score_assessment_answer
+:20573).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from typing import Dict, List, Optional
+
+from deepvision_tpu.web.runtime.interview import mode_config
+
+# ---------------------------------------------------------------------------
+# Answer-depth heuristics (rule layer of the reference's rule+AI decision)
+# ---------------------------------------------------------------------------
+
+_VAGUE_MARKERS = ("不知道", "不清楚", "没想好", "随便", "都行", "不确定", "看情况")
+_RICH_MARKERS = ("因为", "例如", "比如", "具体来说", "首先", "其次", "目前", "我们")
+
+
+def evaluate_answer_depth(answer: str, rationale: str = "") -> dict:
+    """0-1 depth score from length + structure signals
+    (reference answer-depth eval :20655)."""
+    text = f"{answer} {rationale}".strip()
+    length_score = min(1.0, len(text) / 120.0)
+    rich = sum(1 for m in _RICH_MARKERS if m in text)
+    vague = sum(1 for m in _VAGUE_MARKERS if m in text)
+    structure_score = min(1.0, rich * 0.25)
+    penalty = min(0.6, vague * 0.3)
+    score = max(0.0, min(1.0, 0.3 * length_score + 0.6 * structure_score
+                         + 0.25 - penalty + (0.15 if len(text) > 40 else 0)))
+    return {
+        "score": round(score, 3),
+        "length": len(text),
+        "vague_markers": vague,
+        "rich_markers": rich,
+    }
+
+
+def classify_evidence(entry: dict) -> str:
+    """Evidence-class classifier (reference :21986):
+    explicit / rich_option / weak_inferred / pending_follow_up."""
+    answer = (entry.get("answer") or "").strip()
+    rationale = (entry.get("rationale_text") or "").strip()
+    depth = evaluate_answer_depth(answer, rationale)["score"]
+    if rationale and depth >= 0.5:
+        return "explicit"
+    if entry.get("options") and answer and depth >= 0.35:
+        return "rich_option"
+    if entry.get("is_follow_up") and depth < 0.3:
+        return "pending_follow_up"
+    return "weak_inferred" if answer else "pending_follow_up"
+
+
+# ---------------------------------------------------------------------------
+# Capture contract (reference :19243)
+# ---------------------------------------------------------------------------
+
+def build_capture_contract(dimension: dict, question_number: int,
+                           mode: str) -> dict:
+    cfg = mode_config(mode)
+    # Early questions in a dimension gather breadth (pick_only OK); later
+    # ones must capture reasons; deep mode always wants rationale.
+    want_rationale = mode == "deep" or question_number >= 2
+    intent = "high" if question_number >= cfg["questions_per_dimension"] else (
+        "medium" if want_rationale else "low"
+    )
+    return {
+        "answer_mode": "pick_with_reason" if want_rationale else "pick_only",
+        "evidence_intent": intent,
+    }
+
+
+# ---------------------------------------------------------------------------
+# Saturation / fatigue / follow-up decision
+# ---------------------------------------------------------------------------
+
+def dimension_entries(session: dict, dimension_id: str) -> List[dict]:
+    return [
+        e for e in session.get("interview_log", [])
+        if e.get("dimension") == dimension_id
+    ]
+
+
+def dimension_saturation(session: dict, dimension: dict, mode: str) -> dict:
+    """Coverage + quality saturation (reference :18973)."""
+    cfg = mode_config(mode)
+    entries = dimension_entries(session, dimension["id"])
+    main_qs = [e for e in entries if not e.get("is_follow_up")]
+    scores = [
+        e.get("quality_score")
+        or evaluate_answer_depth(e.get("answer", ""),
+                                 e.get("rationale_text", ""))["score"]
+        for e in entries
+    ]
+    avg_quality = sum(scores) / len(scores) if scores else 0.0
+    budget = max(
+        dimension.get("min_questions", 2),
+        min(dimension.get("max_questions", 4),
+            cfg["questions_per_dimension"]),
+    )
+    saturated = (
+        len(main_qs) >= budget
+        or (len(main_qs) >= dimension.get("min_questions", 2)
+            and avg_quality >= cfg["quality_threshold"] + 0.2)
+    )
+    return {
+        "asked": len(main_qs),
+        "budget": budget,
+        "avg_quality": round(avg_quality, 3),
+        "saturated": saturated,
+    }
+
+
+def user_fatigue(session: dict) -> float:
+    """Recent-answer fatigue signal (reference :19092): shrinking answers
+    and vague markers raise fatigue toward 1."""
+    log = session.get("interview_log", [])
+    recent = log[-4:]
+    if len(recent) < 3:
+        return 0.0
+    lengths = [len(e.get("answer") or "") for e in recent]
+    shrinking = sum(
+        1 for a, b in zip(lengths, lengths[1:]) if b < a * 0.7
+    )
+    vague = sum(
+        1 for e in recent
+        if any(m in (e.get("answer") or "") for m in _VAGUE_MARKERS)
+    )
+    return min(1.0, shrinking * 0.25 + vague * 0.3)
+
+
+def should_follow_up(
+    session: dict, dimension: dict, last_entry: dict, mode: str,
+    gateway=None,
+) -> dict:
+    """Combined rule + (optional) AI-scored follow-up decision
+    (reference should_follow_up_comprehensive :20424).
+
+    Returns {follow_up: bool, reason, follow_up_round, context}."""
+    cfg = mode_config(mode)
+    round_no = int(last_entry.get("follow_up_round") or 0)
+    if round_no >= cfg["max_follow_up_rounds"]:
+        return {"follow_up": False, "reason": "follow_up_budget_exhausted"}
+    if session.get("depth_v2", {}).get("skip_followup_confirm"):
+        return {"follow_up": False, "reason": "user_skipped"}
+    fatigue = user_fatigue(session)
+    if fatigue >= 0.7:
+        return {"follow_up": False, "reason": "user_fatigue",
+                "fatigue": fatigue}
+
+    depth = evaluate_answer_depth(
+        last_entry.get("answer", ""), last_entry.get("rationale_text", "")
+    )
+    quality = last_entry.get("quality_score") or depth["score"]
+
+    # forced follow-up: explicit vagueness on a high-intent question
+    # (reference forced follow-up :19182)
+    hard = (
+        last_entry.get("evidence_intent") == "high"
+        and depth["vague_markers"] > 0
+    )
+    if hard:
+        return {
+            "follow_up": True, "reason": "hard_trigger_vague_high_intent",
+            "follow_up_round": round_no + 1, "hard_triggered": True,
+            "context": "上一个回答在关键问题上不够具体，请追问细节。",
+        }
+    if quality < cfg["quality_threshold"]:
+        # optional AI scoring refinement (assessment lane)
+        ai_score = None
+        if gateway is not None:
+            try:
+                text = gateway.call_model(
+                    f"请评估以下回答的信息量（0-1 JSON {{\"score\": x}}）：\n"
+                    f"问：{last_entry.get('question')}\n"
+                    f"答：{last_entry.get('answer')}",
+                    call_type="assessment",
+                    context={"answer": last_entry.get("answer", "")},
+                )
+                ai_score = json.loads(text).get("score")
+            except Exception:
+                ai_score = None
+        if ai_score is not None and ai_score >= cfg["quality_threshold"]:
+            return {"follow_up": False, "reason": "ai_score_pass",
+                    "ai_score": ai_score}
+        return {
+            "follow_up": True, "reason": "low_answer_quality",
+            "follow_up_round": round_no + 1,
+            "context": "回答信息量不足，请追问具体场景、数据或原因。",
+            "quality": quality, "ai_score": ai_score,
+        }
+    return {"follow_up": False, "reason": "quality_ok", "quality": quality}
+
+
+# ---------------------------------------------------------------------------
+# Question similarity dedupe (reference :20059)
+# ---------------------------------------------------------------------------
+
+def _tokenize(text: str) -> set:
+    return set(re.findall(r"[\w一-鿿]{2,}", text))
+
+
+def question_too_similar(question: str, session: dict,
+                         threshold: float = 0.75) -> bool:
+    new_tokens = _tokenize(question)
+    if not new_tokens:
+        return False
+    for entry in session.get("interview_log", []):
+        old_tokens = _tokenize(entry.get("question") or "")
+        if not old_tokens:
+            continue
+        overlap = len(new_tokens & old_tokens) / len(new_tokens | old_tokens)
+        if overlap >= threshold:
+            return True
+    return False
+
+
+# ---------------------------------------------------------------------------
+# Report readiness (reference :32807-33029)
+# ---------------------------------------------------------------------------
+
+def report_readiness(session: dict) -> dict:
+    """Pre-generation blockers: pending follow-ups + low-signal dimensions."""
+    blockers = []
+    log = session.get("interview_log", [])
+    pending = [
+        e for e in log
+        if classify_evidence(e) == "pending_follow_up"
+        and e.get("evidence_intent") == "high"
+    ]
+    if pending:
+        blockers.append({
+            "type": "pending_follow_ups",
+            "count": len(pending),
+            "detail": "存在未充分回答的关键问题",
+        })
+    dims = session.get("dimensions", {})
+    low_signal = []
+    for dim_id, state in dims.items():
+        entries = dimension_entries(session, dim_id)
+        if not entries:
+            low_signal.append(dim_id)
+    if low_signal and log:
+        blockers.append({
+            "type": "low_signal_dimensions",
+            "dimensions": low_signal,
+            "detail": "部分维度没有任何问答记录",
+        })
+    return {
+        "ready": not blockers,
+        "blockers": blockers,
+        "total_answers": len(log),
+    }
