@@ -30,6 +30,13 @@ class ByteTokenizer:
     def encode_batch(
         self, texts: Sequence[str], add_bos: bool = True
     ) -> List[List[int]]:
+        try:
+            from deepvision_tpu import native
+
+            if native.native_available():
+                return native.encode_batch(list(texts), add_bos)
+        except Exception:
+            pass
         return [self.encode(t, add_bos) for t in texts]
 
     def decode(self, ids: Sequence[int]) -> str:

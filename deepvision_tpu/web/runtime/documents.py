@@ -226,6 +226,14 @@ def chunk_markdown(text: str, *, chunk_chars: int = 800,
                    overlap: int = 80) -> List[str]:
     if len(text) <= chunk_chars:
         return [text] if text.strip() else []
+    try:
+        from deepvision_tpu import native
+
+        chunks = native.chunk_markdown_native(text, chunk_chars)
+        if chunks:
+            return chunks
+    except Exception:
+        pass
     # prefer paragraph boundaries
     paras = re.split(r"\n{2,}", text)
     chunks: List[str] = []
