@@ -80,6 +80,22 @@ TINY_TEST = _register(
     )
 )
 
+# Small TPU smoke model: lane-aligned head_dim, compiles in seconds —
+# for engine-mode app integration tests on real hardware.
+DV_SMOKE = _register(
+    ModelConfig(
+        name="dv-smoke",
+        vocab_size=4096,
+        d_model=512,
+        n_layers=4,
+        n_heads=8,
+        n_kv_heads=4,
+        d_ff=1024,
+        head_dim=128,
+        max_seq_len=2048,
+    )
+)
+
 # Small demo model — fast to random-init, used for single-chip smoke/bench
 # when no checkpoint is configured.
 DV_TINY_1B = _register(

@@ -1,0 +1,75 @@
+#!/usr/bin/env python
+"""Curated test harness (reference scripts/agent_harness.py:49): profile
+presets composing doctor -> suites -> guardrails, with artifacts.
+
+  python scripts/agent_harness.py --profile local   # fast main-path checks
+  python scripts/agent_harness.py --profile auto    # full aggregate gate
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+PROFILES = {
+    "local": [
+        ("doctor", [sys.executable, os.path.join(ROOT, "scripts",
+                                                 "agent_doctor.py")]),
+        ("smoke", [sys.executable, "-m", "pytest",
+                   "tests/test_app_api.py", "tests/test_web_http.py",
+                   "-q", "--no-header"]),
+    ],
+    "auto": [
+        ("doctor", [sys.executable, os.path.join(ROOT, "scripts",
+                                                 "agent_doctor.py")]),
+        ("suites", [sys.executable, "-m", "pytest", "tests/", "-q",
+                    "--no-header"]),
+        ("guardrails", [sys.executable, os.path.join(
+            ROOT, "scripts", "agent_static_guardrails.py")]),
+    ],
+}
+
+
+def main():
+    p = argparse.ArgumentParser(description="test harness")
+    p.add_argument("--profile", choices=list(PROFILES), default="local")
+    p.add_argument("--artifact-dir", default=None)
+    args = p.parse_args()
+
+    results = []
+    ok = True
+    for name, cmd in PROFILES[args.profile]:
+        t0 = time.time()
+        proc = subprocess.run(cmd, cwd=ROOT, capture_output=True, text=True)
+        passed = proc.returncode == 0
+        ok = ok and passed
+        results.append({
+            "step": name,
+            "passed": passed,
+            "seconds": round(time.time() - t0, 1),
+            "tail": proc.stdout.strip().splitlines()[-3:],
+        })
+        icon = "✅" if passed else "❌"
+        print(f"{icon} {name} ({results[-1]['seconds']}s)")
+        if not passed:
+            print(proc.stdout[-2000:])
+            print(proc.stderr[-2000:], file=sys.stderr)
+    if args.artifact_dir:
+        os.makedirs(args.artifact_dir, exist_ok=True)
+        path = os.path.join(
+            args.artifact_dir, f"harness-{int(time.time())}.json")
+        with open(path, "w", encoding="utf-8") as fh:
+            json.dump({"profile": args.profile, "ok": ok,
+                       "results": results}, fh, ensure_ascii=False, indent=1)
+        print(f"artifact: {path}")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
