@@ -200,6 +200,223 @@ def paged_attention(
     return out[:, :, :g, :].reshape(B, H, HD)
 
 
+# ---------------------------------------------------------------------------
+# Fused write + attention (the decode hot path)
+# ---------------------------------------------------------------------------
+
+def _fused_kernel(
+    bt_ref,      # [B, MP] scalar-prefetch block tables
+    lens_ref,    # [B] lengths incl. current token
+    pages_ref,   # [B] page id holding the current token
+    offs_ref,    # [B] row offset within that page
+    q_ref,       # [1, 1, Gp, HD] VMEM
+    nk_ref,      # [1, 1, 1, HD] VMEM — this step's k row for (b, kv)
+    nv_ref,      # [1, 1, 1, HD] VMEM
+    kp_ref,      # [KV, N, P, HD] HBM (aliased to kp_out)
+    vp_ref,      # [KV, N, P, HD] HBM (aliased to vp_out)
+    o_ref,       # [1, 1, Gp, HD] VMEM
+    kp_out,      # HBM alias of kp_ref
+    vp_out,      # HBM alias of vp_ref
+    k_buf, v_buf, sems, wbuf_k, wbuf_v, wsems,
+    *,
+    page_size: int,
+    scale: float,
+):
+    """Read-modify-write the current token's page in place, then attend.
+
+    The KV write cannot DMA a single row (rows inside a ``(P, HD)`` tile are
+    not DMA-sliceable), so the target page round-trips through VMEM: load
+    page -> patch row -> store page.  That is 4 x 16KB per (b, kv) program —
+    noise next to the full-pool copy the XLA scatter route costs.
+    """
+    b = pl.program_id(0)
+    kv = pl.program_id(1)
+    n = lens_ref[b]
+    my_page = pages_ref[b]
+    my_off = offs_ref[b]
+
+    load_k = pltpu.make_async_copy(
+        kp_ref.at[kv, my_page], wbuf_k, wsems.at[0]
+    )
+    load_v = pltpu.make_async_copy(
+        vp_ref.at[kv, my_page], wbuf_v, wsems.at[1]
+    )
+    load_k.start()
+    load_v.start()
+    load_k.wait()
+    load_v.wait()
+    # Patch the row via masked select: dynamic single-row vector stores are
+    # not lowerable for bf16 tiles, a full-tile select is.
+    row_ids = jax.lax.broadcasted_iota(
+        jnp.int32, (page_size, nk_ref.shape[-1]), dimension=0
+    )
+    wbuf_k[:, :] = jnp.where(row_ids == my_off, nk_ref[0, 0], wbuf_k[:, :])
+    wbuf_v[:, :] = jnp.where(row_ids == my_off, nv_ref[0, 0], wbuf_v[:, :])
+    store_k = pltpu.make_async_copy(
+        wbuf_k, kp_out.at[kv, my_page], wsems.at[0]
+    )
+    store_v = pltpu.make_async_copy(
+        wbuf_v, vp_out.at[kv, my_page], wsems.at[1]
+    )
+    store_k.start()
+    store_v.start()
+    store_k.wait()
+    store_v.wait()
+
+    num_pages = pl.cdiv(n, page_size)
+
+    def k_copy(slot, p):
+        return pltpu.make_async_copy(
+            kp_out.at[kv, bt_ref[b, p]], k_buf.at[slot], sems.at[0, slot]
+        )
+
+    def v_copy(slot, p):
+        return pltpu.make_async_copy(
+            vp_out.at[kv, bt_ref[b, p]], v_buf.at[slot], sems.at[1, slot]
+        )
+
+    k_copy(0, 0).start()
+    v_copy(0, 0).start()
+
+    q = q_ref[0, 0].astype(jnp.float32) * scale
+    gp, hd = q.shape
+    pos_in_page = jax.lax.broadcasted_iota(
+        jnp.int32, (gp, page_size), dimension=1
+    )
+
+    def body(p, carry):
+        m_prev, l_prev, acc_prev = carry
+        slot = jax.lax.rem(p, 2)
+        next_slot = jax.lax.rem(p + 1, 2)
+
+        @pl.when(p + 1 < num_pages)
+        def _():
+            k_copy(next_slot, p + 1).start()
+            v_copy(next_slot, p + 1).start()
+
+        k_copy(slot, p).wait()
+        v_copy(slot, p).wait()
+        k = k_buf[slot].astype(jnp.float32)
+        v = v_buf[slot].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        s = jnp.where(p * page_size + pos_in_page < n, s, _NEG_INF)
+        m_cur = jnp.max(s, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        pij = jnp.exp(s - m_new)
+        alpha = jnp.exp(m_prev - m_new)
+        l_new = l_prev * alpha + jnp.sum(pij, axis=-1, keepdims=True)
+        acc_new = acc_prev * alpha + jax.lax.dot_general(
+            pij, v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return m_new, l_new, acc_new
+
+    m0 = jnp.full((gp, 1), _NEG_INF, dtype=jnp.float32)
+    l0 = jnp.zeros((gp, 1), dtype=jnp.float32)
+    acc0 = jnp.zeros((gp, hd), dtype=jnp.float32)
+    _, l, acc = jax.lax.fori_loop(0, num_pages, body, (m0, l0, acc0))
+    l = jnp.where(l == 0.0, 1.0, l)
+    o_ref[0, 0] = (acc / l).astype(o_ref.dtype)
+
+
+def paged_attention_update(
+    q: jax.Array,          # [B, H, HD]
+    new_k: jax.Array,      # [B, KV, HD] — this step's k (RoPE'd)
+    new_v: jax.Array,      # [B, KV, HD]
+    k_pages: jax.Array,    # [KV, N, P, HD] — DONATE at the jit boundary
+    v_pages: jax.Array,
+    block_tables: jax.Array,
+    seq_lens: jax.Array,   # incl. current token
+    *,
+    interpret: bool | None = None,
+):
+    """Fused in-place KV write + paged attention for one layer.
+
+    Returns ``(out [B, H, HD], k_pages, v_pages)`` where the page pools are
+    the SAME buffers (``input_output_aliases``) — zero cache copies per
+    step, vs. one full-pool copy for the XLA-scatter + separate-kernel
+    route.
+    """
+    if interpret is None:
+        interpret = _default_interpret()
+    B, H, HD = q.shape
+    KV, N, P, _ = k_pages.shape
+    positions = seq_lens - 1
+    pages_idx = jnp.take_along_axis(
+        block_tables, (positions // P)[:, None], axis=1
+    )[:, 0].astype(jnp.int32)
+    offs = (positions % P).astype(jnp.int32)
+
+    if HD % 128 != 0 and not interpret:
+        # Fallback path for sub-lane head dims (test models).
+        from deepvision_tpu.engine.kv_cache import write_decode_token
+
+        k_pages, v_pages = write_decode_token(
+            k_pages, v_pages, new_k, new_v, block_tables, positions
+        )
+        out = paged_attention_reference(
+            q, k_pages, v_pages, block_tables, seq_lens
+        )
+        return out, k_pages, v_pages
+
+    g = H // KV
+    gp = max(g, 8)
+    qg = q.reshape(B, KV, g, HD)
+    if gp != g:
+        qg = jnp.pad(qg, ((0, 0), (0, 0), (0, gp - g), (0, 0)))
+    nk4 = new_k.reshape(B, KV, 1, HD)
+    nv4 = new_v.reshape(B, KV, 1, HD)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(B, KV),
+        in_specs=[
+            pl.BlockSpec((1, 1, gp, HD), lambda b, kv, *_: (b, kv, 0, 0)),
+            pl.BlockSpec((1, 1, 1, HD), lambda b, kv, *_: (b, kv, 0, 0)),
+            pl.BlockSpec((1, 1, 1, HD), lambda b, kv, *_: (b, kv, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, gp, HD), lambda b, kv, *_: (b, kv, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, P, HD), k_pages.dtype),
+            pltpu.VMEM((2, P, HD), v_pages.dtype),
+            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.VMEM((P, HD), k_pages.dtype),
+            pltpu.VMEM((P, HD), v_pages.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    kernel = functools.partial(
+        _fused_kernel, page_size=P, scale=HD ** -0.5
+    )
+    out, kp2, vp2 = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((B, KV, gp, HD), q.dtype),
+            jax.ShapeDtypeStruct(k_pages.shape, k_pages.dtype),
+            jax.ShapeDtypeStruct(v_pages.shape, v_pages.dtype),
+        ),
+        # flattened input order: 4 scalar-prefetch args, then
+        # q(4), nk(5), nv(6), k_pages(7), v_pages(8)
+        input_output_aliases={7: 1, 8: 2},
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(
+        block_tables.astype(jnp.int32), seq_lens.astype(jnp.int32),
+        pages_idx, offs, qg, nk4, nv4, k_pages, v_pages,
+    )
+    return out[:, :, :g, :].reshape(B, H, HD), kp2, vp2
+
+
 def paged_attention_reference(q, k_pages, v_pages, block_tables, seq_lens):
     """jnp reference (gathers pages densely) used to validate the kernel."""
     B, H, HD = q.shape

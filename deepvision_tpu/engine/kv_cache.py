@@ -3,10 +3,11 @@
 TPU-first replacement for what the reference never had (all its inference was
 remote; see SURVEY.md §0).  Layout:
 
-* ``k_pages`` / ``v_pages``: ``[L, KV_HEADS, N_PAGES, PAGE, HEAD_DIM]``
-  bfloat16.  Leading layer axis lets the transformer ``lax.scan`` over layers
-  carry per-layer page pools; the kv-head axis is the tensor-parallel shard
-  axis so each chip owns its heads' pages.  KV/page axes sit *left* of the
+* ``k_pages`` / ``v_pages``: per layer, ``[KV_HEADS, N_PAGES, PAGE,
+  HEAD_DIM]`` bfloat16 — one separate array per layer (tuple pytree) so
+  every layer's pools can be donated whole into the fused
+  write+attend kernel and updated strictly in place.  The kv-head axis is
+  the tensor-parallel shard axis.  KV/page axes sit *left* of the
   ``(PAGE, HEAD_DIM)`` pair so page DMAs slice whole ``(sublane, lane)``
   tiles — slicing an interior tiled axis is rejected by Mosaic.
 * Page id 0 is a reserved trash page: block-table padding and inactive decode
@@ -39,16 +40,27 @@ class CacheConfig:
 
 
 def init_cache(model: ModelConfig, cache: CacheConfig) -> dict:
+    """Per-layer page pools as SEPARATE arrays (tuple leaves).
+
+    Separate leaves let each layer's pools be donated whole to the fused
+    write+attend kernel (``input_output_aliases``) — true in-place decode.
+    A single stacked ``[L, ...]`` array cannot alias per-layer slices.
+    """
     shape = (
-        model.n_layers,
         model.n_kv_heads,
         cache.num_pages,
         cache.page_size,
         model.head_dim,
     )
     return {
-        "k": jnp.zeros(shape, dtype=cache.dtype),
-        "v": jnp.zeros(shape, dtype=cache.dtype),
+        "k": tuple(
+            jnp.zeros(shape, dtype=cache.dtype)
+            for _ in range(model.n_layers)
+        ),
+        "v": tuple(
+            jnp.zeros(shape, dtype=cache.dtype)
+            for _ in range(model.n_layers)
+        ),
     }
 
 
@@ -61,6 +73,14 @@ def cache_hbm_bytes(model: ModelConfig, cache: CacheConfig) -> int:
         * model.head_dim
     )
     return 2 * per * jnp.dtype(cache.dtype).itemsize
+
+
+def stack_cache(cache: dict):
+    """Stacked ``[L, ...]`` view for checkpointing/inspection."""
+    return {
+        "k": jnp.stack(cache["k"]),
+        "v": jnp.stack(cache["v"]),
+    }
 
 
 class PageAllocator:

@@ -73,9 +73,9 @@ def _psum(x: jax.Array, axis: Optional[str]) -> jax.Array:
     return jax.lax.psum(x, axis) if axis else x
 
 
-def _mlp(x, blk, axis):
-    gate = jnp.dot(x, blk["w_gate"], preferred_element_type=jnp.bfloat16)
-    up = jnp.dot(x, blk["w_up"], preferred_element_type=jnp.bfloat16)
+def _mlp(x, blk, axis, compute_dtype=jnp.bfloat16):
+    gate = jnp.dot(x, blk["w_gate"], preferred_element_type=compute_dtype)
+    up = jnp.dot(x, blk["w_up"], preferred_element_type=compute_dtype)
     h = jax.nn.silu(gate.astype(jnp.float32)).astype(x.dtype) * up
     down = jnp.dot(h, blk["w_down"], preferred_element_type=jnp.float32)
     return _psum(down, axis).astype(x.dtype)
@@ -118,6 +118,10 @@ def forward_prefill(
 ):
     """Run the prompt through the model, writing K/V pages.
 
+    Layers are python-unrolled over per-layer cache leaves so page writes
+    land on donated buffers in place (no consumer reads the pools during
+    prefill — the flash kernel attends over the prompt's dense K/V).
+
     Returns ``(last_logits [B, V], new_cache)``.
     """
     B, S = tokens.shape
@@ -126,8 +130,10 @@ def forward_prefill(
         x = x * jnp.asarray(cfg.d_model ** 0.5, dtype=x.dtype)
     positions = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32), (B, S))
 
-    def layer(x, xs):
-        blk, k_pages_l, v_pages_l = xs
+    k_list = list(cache["k"])
+    v_list = list(cache["v"])
+    for layer_idx in range(cfg.n_layers):
+        blk = jax.tree.map(lambda a: a[layer_idx], params["blocks"])
         h = rms_norm(x, blk["ln1"], cfg.rms_eps)
         q = jnp.dot(h, blk["wq"], preferred_element_type=jnp.bfloat16)
         k = jnp.dot(h, blk["wk"], preferred_element_type=jnp.bfloat16)
@@ -140,8 +146,8 @@ def forward_prefill(
         q = apply_rope(q, positions, cfg.rope_theta)
         k = apply_rope(k, positions, cfg.rope_theta)
 
-        k_pages_l, v_pages_l = write_prefill_pages(
-            k_pages_l, v_pages_l, k, v, prefill_pages
+        k_list[layer_idx], v_list[layer_idx] = write_prefill_pages(
+            k_list[layer_idx], v_list[layer_idx], k, v, prefill_pages
         )
 
         attn = flash_attention(
@@ -158,18 +164,14 @@ def forward_prefill(
         x = x + _psum(out, axis).astype(x.dtype)
         h2 = rms_norm(x, blk["ln2"], cfg.rms_eps)
         x = x + _mlp(h2, blk, axis)
-        return x, (k_pages_l, v_pages_l)
 
-    x, (k_new, v_new) = jax.lax.scan(
-        layer, x, (params["blocks"], cache["k"], cache["v"])
-    )
     x = rms_norm(x, params["final_norm"], cfg.rms_eps)
     # Gather each sequence's last valid hidden state.
     last = jnp.take_along_axis(
         x, (seq_lens - 1)[:, None, None].astype(jnp.int32), axis=1
     )[:, 0]
     logits = _logits(last, params, cfg, axis)
-    return logits, {"k": k_new, "v": v_new}
+    return logits, {"k": tuple(k_list), "v": tuple(v_list)}
 
 
 # ---------------------------------------------------------------------------
@@ -187,15 +189,27 @@ def forward_decode(
     axis: Optional[str] = None,
     interpret: Optional[bool] = None,
 ):
-    """One continuous-batching decode step.  Returns ``(logits, new_cache)``."""
+    """One continuous-batching decode step.  Returns ``(logits, new_cache)``.
+
+    Layers are python-unrolled; each layer's KV write + paged attention is
+    ONE fused Pallas call whose page pools are input/output-aliased — the
+    decode step never copies the cache (the lax.scan-over-layers layout
+    cost one full pool copy per token).
+    """
+    from deepvision_tpu.engine.kernels.paged_attention import (
+        paged_attention_update,
+    )
+
     B = tokens.shape[0]
     x = jnp.take(params["embed"], tokens, axis=0).astype(jnp.bfloat16)
     if cfg.scale_embeddings:
         x = x * jnp.asarray(cfg.d_model ** 0.5, dtype=x.dtype)
     positions = (seq_lens - 1).astype(jnp.int32)  # [B]
 
-    def layer(x, xs):
-        blk, k_pages_l, v_pages_l = xs
+    k_list = list(cache["k"])
+    v_list = list(cache["v"])
+    for layer_idx in range(cfg.n_layers):
+        blk = jax.tree.map(lambda a: a[layer_idx], params["blocks"])
         h = rms_norm(x, blk["ln1"], cfg.rms_eps)
         q = jnp.dot(h, blk["wq"], preferred_element_type=jnp.bfloat16)
         k = jnp.dot(h, blk["wk"], preferred_element_type=jnp.bfloat16)
@@ -208,26 +222,19 @@ def forward_decode(
         q = apply_rope(q, positions, cfg.rope_theta)
         k = apply_rope(k, positions, cfg.rope_theta)
 
-        k_pages_l, v_pages_l = write_decode_token(
-            k_pages_l, v_pages_l, k, v, block_tables, positions
-        )
-        attn = paged_attention(
-            q, k_pages_l, v_pages_l, block_tables, seq_lens,
-            interpret=interpret,
+        attn, k_list[layer_idx], v_list[layer_idx] = paged_attention_update(
+            q, k, v, k_list[layer_idx], v_list[layer_idx],
+            block_tables, seq_lens, interpret=interpret,
         )  # [B, Hl, HD]
         attn = attn.reshape(B, n_heads_local * cfg.head_dim)
         out = jnp.dot(attn, blk["wo"], preferred_element_type=jnp.float32)
         x = x + _psum(out, axis).astype(x.dtype)
         h2 = rms_norm(x, blk["ln2"], cfg.rms_eps)
         x = x + _mlp(h2, blk, axis)
-        return x, (k_pages_l, v_pages_l)
 
-    x, (k_new, v_new) = jax.lax.scan(
-        layer, x, (params["blocks"], cache["k"], cache["v"])
-    )
     x = rms_norm(x, params["final_norm"], cfg.rms_eps)
     logits = _logits(x, params, cfg, axis)
-    return logits, {"k": k_new, "v": v_new}
+    return logits, {"k": tuple(k_list), "v": tuple(v_list)}
 
 
 # ---------------------------------------------------------------------------
@@ -242,20 +249,22 @@ def forward_train(
     axis: Optional[str] = None,
     interpret: Optional[bool] = None,
     use_kernel: bool = False,
+    act_dtype=jnp.bfloat16,
 ):
     """Full-sequence forward returning ``[B, S, V]`` logits (fp32).
 
     No KV cache; suitable for fine-tuning / eval.  ``use_kernel=False`` keeps
     attention in plain XLA so the whole step is differentiable (the Pallas
     flash kernel has no VJP yet); set ``use_kernel=True`` for inference-only
-    full-sequence scoring.
+    full-sequence scoring.  ``act_dtype=float32`` enables bit-accurate
+    parity checks against external implementations.
     """
     from deepvision_tpu.engine.kernels.flash_attention import (
         flash_attention_reference,
     )
     attn_fn = flash_attention if use_kernel else flash_attention_reference
     B, S = tokens.shape
-    x = jnp.take(params["embed"], tokens, axis=0).astype(jnp.bfloat16)
+    x = jnp.take(params["embed"], tokens, axis=0).astype(act_dtype)
     if cfg.scale_embeddings:
         x = x * jnp.asarray(cfg.d_model ** 0.5, dtype=x.dtype)
     positions = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32), (B, S))
@@ -263,9 +272,9 @@ def forward_train(
 
     def layer(x, blk):
         h = rms_norm(x, blk["ln1"], cfg.rms_eps)
-        q = jnp.dot(h, blk["wq"], preferred_element_type=jnp.bfloat16)
-        k = jnp.dot(h, blk["wk"], preferred_element_type=jnp.bfloat16)
-        v = jnp.dot(h, blk["wv"], preferred_element_type=jnp.bfloat16)
+        q = jnp.dot(h, blk["wq"], preferred_element_type=act_dtype)
+        k = jnp.dot(h, blk["wk"], preferred_element_type=act_dtype)
+        v = jnp.dot(h, blk["wv"], preferred_element_type=act_dtype)
         n_heads_local = q.shape[-1] // cfg.head_dim
         n_kv_local = k.shape[-1] // cfg.head_dim
         q = apply_rope(
@@ -298,7 +307,7 @@ def forward_train(
         out = jnp.dot(attn, blk["wo"], preferred_element_type=jnp.float32)
         x = x + _psum(out, axis).astype(x.dtype)
         h2 = rms_norm(x, blk["ln2"], cfg.rms_eps)
-        x = x + _mlp(h2, blk, axis)
+        x = x + _mlp(h2, blk, axis, compute_dtype=act_dtype)
         return x, None
 
     x, _ = jax.lax.scan(layer, x, params["blocks"])

@@ -86,14 +86,17 @@ class ShardPlan:
             specs["lm_head"] = P(None, None)
         return specs
 
-    def cache_specs(self) -> dict:
-        # [L, KV, N_PAGES, PAGE, HD] — shard kv-head axis when possible.
+    def cache_specs(self, n_layers: int) -> dict:
+        # per layer [KV, N_PAGES, PAGE, HD] — shard kv heads when possible.
         spec = (
-            P(None, MODEL_AXIS, None, None, None)
+            P(MODEL_AXIS, None, None, None)
             if self.kv_sharded
-            else P(None, None, None, None, None)
+            else P(None, None, None, None)
         )
-        return {"k": spec, "v": spec}
+        return {
+            "k": tuple(spec for _ in range(n_layers)),
+            "v": tuple(spec for _ in range(n_layers)),
+        }
 
 
 def named_shardings(mesh: Mesh, specs):

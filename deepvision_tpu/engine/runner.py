@@ -67,7 +67,9 @@ class ModelRunner:
         if mesh is not None:
             assert plan is not None
             axis = "model"
-            cache_shardings = named_shardings(mesh, plan.cache_specs())
+            cache_shardings = named_shardings(
+                mesh, plan.cache_specs(cfg.n_layers)
+            )
             self.cache = jax.tree.map(
                 lambda leaf, s: jax.device_put(leaf, s),
                 init_cache(cfg, cache_cfg),
@@ -94,7 +96,7 @@ class ModelRunner:
 
         plan, cfg = self.plan, self.cfg
         param_specs = plan.param_specs(cfg)
-        cache_specs = plan.cache_specs()
+        cache_specs = plan.cache_specs(cfg.n_layers)
 
         def spec_tree(template, repl=P()):
             return jax.tree.map(lambda _: repl, template)

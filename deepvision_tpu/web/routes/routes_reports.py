@@ -201,40 +201,54 @@ def register(app, state):
                 "PRESENTATION_FEATURE_ENABLED", False)
         return bool(flag) and level_allows(user.get("level"), "presentation")
 
+    from deepvision_tpu.web.runtime.presentation import PresentationService
+
+    presentations = PresentationService(state)
+
     @app.route("/api/reports/<path:filename>/refly", methods=["POST"])
     def refly_start(req, filename):
         user = require_user(state, req)
-        _load_owned_report(state, filename, user)
+        content = _load_owned_report(state, filename, user)
         if not _presentation_enabled(user):
             raise HTTPError(403, {"error": "演示稿功能未开放"})
-        if not state.resolver.get_str("REFLY_API_URL"):
-            raise HTTPError(503, {"error": "Refly 工作流未配置"})
-        raise HTTPError(503, {"error": "Refly 集成需要外部网络"})
+        try:
+            return presentations.start(filename, content), 202
+        except RuntimeError as e:
+            raise HTTPError(503, {"error": str(e)})
 
     @app.route("/api/reports/<path:filename>/refly/status")
     @app.route("/api/reports/<path:filename>/presentation/status")
     def refly_status(req, filename):
         require_user(state, req)
-        raw = state.meta.kv_get(
-            "presentation_map_store", "report_name", filename, "payload"
-        )
-        if raw is None:
-            return {"active": False, "state": "idle"}
-        import json
-
-        return json.loads(raw)
+        return presentations.status(filename)
 
     @app.route("/api/reports/<path:filename>/presentation")
     @app.route("/api/reports/<path:filename>/presentation/link")
     def presentation_get(req, filename):
         require_user(state, req)
-        raise HTTPError(404, {"error": "暂无演示稿"})
+        st = presentations.status(filename)
+        if st.get("state") != "completed":
+            raise HTTPError(404, {"error": "暂无演示稿"})
+        from deepvision_tpu.web.object_storage import (
+            ObjectStorageHistoryService,
+        )
+
+        storage = ObjectStorageHistoryService(state)
+        try:
+            data = storage.backend.get_object(st["storage_key"])
+        except Exception:
+            raise HTTPError(404, {"error": "演示稿文件缺失"})
+        return Response(
+            data, content_type="application/pdf",
+            headers={"Content-Disposition":
+                     f'attachment; filename="{filename}.presentation.pdf"'},
+        )
 
     @app.route("/api/reports/<path:filename>/presentation/abort",
                methods=["POST"])
     def presentation_abort(req, filename):
         require_user(state, req)
-        return {"ok": True, "aborted": False}
+        return presentations.abort(filename)
 
 
 def _load_owned_report(state, filename: str, user) -> str:

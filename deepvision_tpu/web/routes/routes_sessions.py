@@ -325,6 +325,7 @@ def register(app, state):
         with state.prefetch_lock:
             state.prefetch.pop(session_id, None)
         _schedule_prefetch(state, session_id)
+        _schedule_summary_update(state, session_id)
         return {
             "ok": True,
             "quality_score": depth["score"],
@@ -646,6 +647,51 @@ def _schedule_prefetch(state, session_id: str) -> None:
 
     threading.Thread(target=run, daemon=True,
                      name=f"dv-prefetch-{session_id[:12]}").start()
+
+
+def _schedule_summary_update(state, session_id: str) -> None:
+    """Async sliding-window history summary (reference
+    update_context_summary web/server.py:18506, worker :4607-4651): when the
+    log passes SUMMARY_THRESHOLD, compress entries older than the window
+    into session['summary'] on the low-priority summary lane."""
+    if state.gateway.mode == "off":
+        return
+    threshold = state.resolver.get_int("SUMMARY_THRESHOLD", 8)
+    window = state.resolver.get_int("CONTEXT_WINDOW_SIZE", 5)
+
+    def run():
+        try:
+            session = state.sessions.load(session_id)
+            if session is None:
+                return
+            log = session.get("interview_log", [])
+            summarized_upto = int(session.get("_summary_upto") or 0)
+            if len(log) < threshold or len(log) - summarized_upto < 3:
+                return
+            older = log[: len(log) - window]
+            history_text = "\n".join(
+                f"问：{e.get('question')} 答：{e.get('answer')}"
+                for e in older
+            )
+            prev = session.get("summary", "")
+            text = state.gateway.call_model(
+                "请把以下访谈历史压缩为 200 字以内的要点摘要（保留已确认的"
+                f"结论与数据）：\n已有摘要：{prev}\n新增历史：\n"
+                + history_text[-4000:],
+                call_type="summary",
+                context={"doc_name": "访谈历史"},
+            )
+            session = state.sessions.load(session_id)
+            if session is None:
+                return
+            session["summary"] = text.strip()[:800]
+            session["_summary_upto"] = len(older)
+            state.sessions.save(session)
+        except Exception:
+            pass
+
+    threading.Thread(target=run, daemon=True,
+                     name=f"dv-summary-{session_id[:12]}").start()
 
 
 def _ingest_image(state, f) -> dict:
