@@ -31,6 +31,9 @@ def main():
         eng_cfg = EngineConfig(
             model="dv-1b",
             tokenizer="byte",
+            # 8 slots + K=8 is the measured sweet spot for p50 TTFT on one
+            # chip (16 slots trades ~50% worse p50 for +7% req/min — see
+            # PERF_NOTES.md).
             max_slots=8,
             num_pages=1024,
             page_size=64,

@@ -112,6 +112,18 @@ def register(app, state):
             "filename, content, created_at) VALUES (?, ?, ?, ?, ?, ?)",
             (asset_id, filename, fmt, out_name, data, utc_now_iso()),
         )
+        # archive to object storage (reference archives exports to S3,
+        # web/server.py:43529-43600; local-FS backend when unconfigured)
+        try:
+            from deepvision_tpu.web.object_storage import (
+                ObjectStorageHistoryService,
+            )
+
+            ObjectStorageHistoryService(state).archive_export(
+                filename, asset_id, out_name, data
+            )
+        except Exception:
+            pass  # archive is best-effort; DB copy is authoritative
         return {"ok": True, "asset_id": asset_id, "filename": out_name,
                 "size": len(data)}, 201
 
