@@ -96,9 +96,6 @@ def _flash_kernel(
     o_ref[0, 0] = (acc / l).astype(o_ref.dtype)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("blk_q", "blk_k", "interpret")
-)
 def flash_attention(
     q: jax.Array,
     k: jax.Array,
@@ -111,6 +108,10 @@ def flash_attention(
 ):
     """Causal self-attention for prefill.
 
+    Differentiable: forward runs the Pallas kernel; the backward pass
+    recomputes via the dense reference (an O(S^2)-memory VJP — fine for
+    fine-tuning sequence lengths; a flash backward kernel is future work).
+
     Args:
       q: ``[B, H, S, HD]`` queries (S padded to a multiple of ``blk_q``).
       k, v: ``[B, KV, S, HD]`` keys/values (same padded S).
@@ -121,6 +122,47 @@ def flash_attention(
     """
     if interpret is None:
         interpret = _default_interpret()
+    return _flash_attention_vjp(q, k, v, seq_lens, blk_q, blk_k, interpret)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _flash_attention_vjp(q, k, v, seq_lens, blk_q, blk_k, interpret):
+    return _flash_forward(q, k, v, seq_lens, blk_q, blk_k, interpret)
+
+
+def _flash_vjp_fwd(q, k, v, seq_lens, blk_q, blk_k, interpret):
+    out = _flash_forward(q, k, v, seq_lens, blk_q, blk_k, interpret)
+    return out, (q, k, v, seq_lens)
+
+
+def _flash_vjp_bwd(blk_q, blk_k, interpret, residuals, g):
+    q, k, v, seq_lens = residuals
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_: flash_attention_reference(q_, k_, v_, seq_lens),
+        q, k, v,
+    )
+    dq, dk, dv = vjp(g)
+    import numpy as np
+
+    d_lens = np.zeros(seq_lens.shape, dtype=jax.dtypes.float0)
+    return dq, dk, dv, d_lens
+
+
+_flash_attention_vjp.defvjp(_flash_vjp_fwd, _flash_vjp_bwd)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("blk_q", "blk_k", "interpret")
+)
+def _flash_forward(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    seq_lens: jax.Array,
+    blk_q: int = 128,
+    blk_k: int = 128,
+    interpret: bool = False,
+):
     B, H, S, HD = q.shape
     KV = k.shape[1]
     assert H % KV == 0

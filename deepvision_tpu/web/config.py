@@ -67,6 +67,9 @@ SMS_SEND_COOLDOWN_SECONDS = 60
 SMS_DAILY_CAP = 20
 ADMIN_PHONE_NUMBERS = ""
 ADMIN_USER_IDS = ""
+WECHAT_APP_ID = ""
+WECHAT_APP_SECRET = ""
+WECHAT_REDIRECT_URI = ""
 
 # --- license --------------------------------------------------------------
 LICENSE_ENFORCEMENT_ENABLED = False

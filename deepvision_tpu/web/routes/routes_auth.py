@@ -67,19 +67,72 @@ def register(app, state):
             return {"authenticated": False, "user": None}
         return {"authenticated": True, "user": _public_user(state, user)}
 
-    # --- WeChat OAuth (provider handshake needs external config; the
-    # identity store + bind flows are fully functional) ------------------
+    # --- WeChat OAuth (full QR-connect flow, gated on app credentials) --
+    from deepvision_tpu.web.wechat import WeChatOAuth
+
+    wechat = WeChatOAuth(
+        state.resolver.get_str("WECHAT_APP_ID"),
+        state.resolver.get_str("WECHAT_APP_SECRET"),
+        state.resolver.get_str("WECHAT_REDIRECT_URI"),
+    )
+
     @app.route("/api/auth/wechat/start")
-    @app.route("/api/auth/bind/wechat/start")
     def wechat_start(req):
-        raise HTTPError(503, {
-            "error": "WeChat OAuth 未配置（需要外部 AppID/AppSecret）",
-            "configured": False,
-        })
+        if not wechat.configured:
+            raise HTTPError(503, {
+                "error": "WeChat OAuth 未配置（需要 WECHAT_APP_ID/SECRET）",
+                "configured": False,
+            })
+        return wechat.start_url("login")
+
+    @app.route("/api/auth/bind/wechat/start")
+    def wechat_bind_start(req):
+        require_user(state, req)
+        if not wechat.configured:
+            raise HTTPError(503, {"error": "WeChat OAuth 未配置",
+                                  "configured": False})
+        return wechat.start_url("bind")
 
     @app.route("/api/auth/wechat/callback")
     def wechat_callback(req):
-        raise HTTPError(503, {"error": "WeChat OAuth 未配置"})
+        if not wechat.configured:
+            raise HTTPError(503, {"error": "WeChat OAuth 未配置"})
+        code = req.args.get("code", "")
+        state_token = req.args.get("state", "")
+        purpose = wechat.consume_state(state_token)
+        if not code or purpose is None:
+            raise HTTPError(400, {"error": "无效的回调参数或 state 已过期"})
+        try:
+            identity = wechat.exchange_code(code)
+        except Exception as e:  # noqa: BLE001
+            raise HTTPError(502, {"error": f"微信授权失败：{e}"})
+        if purpose == "bind":
+            user = require_user(state, req)
+            state.auth.bind_wechat(
+                user["user_id"], identity["openid"],
+                identity["nickname"], identity["unionid"],
+            )
+            return {"ok": True, "bound": True}
+        user = state.auth.user_by_wechat(identity["openid"])
+        if user is None:
+            # first login creates a phone-less account bound to the openid
+            conn = state.auth.conn()
+            conn.execute(
+                "INSERT INTO users (phone, nickname, created_at, "
+                "last_login_at) VALUES (NULL, ?, datetime('now'), "
+                "datetime('now'))",
+                (identity["nickname"],),
+            )
+            conn.commit()
+            user_id = conn.execute(
+                "SELECT last_insert_rowid() AS id").fetchone()["id"]
+            state.auth.bind_wechat(
+                user_id, identity["openid"], identity["nickname"],
+                identity["unionid"],
+            )
+            user = state.auth.get_user(user_id)
+        req.session["user_id"] = user["user_id"]
+        return {"ok": True, "user": _public_user(state, user)}
 
     @app.route("/api/auth/bind/status")
     def bind_status(req):

@@ -199,24 +199,57 @@ class AppState:
         if not cfg.get_bool("ENABLE_AI", True):
             mode = "off"
         engines = {}
+        lanes = None
         if mode == "engine":
             from deepvision_tpu.engine.engine import EngineConfig, LLMEngine
+            from deepvision_tpu.engine.lanes import DEFAULT_LANES
 
-            engines["default"] = LLMEngine(EngineConfig(
-                model=cfg.get_str("QUESTION_MODEL_NAME", "dv-1b"),
-                tokenizer=cfg.get_str("ENGINE_TOKENIZER", "byte"),
-                checkpoint_dir=cfg.get_str("ENGINE_CHECKPOINT_DIR") or None,
-                max_slots=cfg.get_int("ENGINE_MAX_SLOTS", 8),
-                num_pages=cfg.get_int("ENGINE_NUM_PAGES", 1024),
-                page_size=cfg.get_int("ENGINE_PAGE_SIZE", 64),
-                max_pages_per_seq=cfg.get_int("ENGINE_MAX_PAGES_PER_SEQ", 32),
-                tp=cfg.get_int("ENGINE_TP", 1),
-                decode_steps_per_call=cfg.get_int(
-                    "ENGINE_DECODE_STEPS_PER_CALL", 8),
-            ))
+            def engine_cfg(model_name: str) -> EngineConfig:
+                return EngineConfig(
+                    model=model_name,
+                    tokenizer=cfg.get_str("ENGINE_TOKENIZER", "byte"),
+                    checkpoint_dir=cfg.get_str("ENGINE_CHECKPOINT_DIR")
+                    or None,
+                    max_slots=cfg.get_int("ENGINE_MAX_SLOTS", 8),
+                    num_pages=cfg.get_int("ENGINE_NUM_PAGES", 1024),
+                    page_size=cfg.get_int("ENGINE_PAGE_SIZE", 64),
+                    max_pages_per_seq=cfg.get_int(
+                        "ENGINE_MAX_PAGES_PER_SEQ", 32),
+                    tp=cfg.get_int("ENGINE_TP", 1),
+                    decode_steps_per_call=cfg.get_int(
+                        "ENGINE_DECODE_STEPS_PER_CALL", 8),
+                )
+
+            # One engine replica per DISTINCT configured model — question
+            # and report draft/review lanes may co-host different models on
+            # the same chip (reference ran 8 remote lanes with independent
+            # models, web/.env.example:36-84; memory plan is the
+            # deployer's job via ENGINE_NUM_PAGES).
+            lane_models = {
+                "question": cfg.get_str("QUESTION_MODEL_NAME", "dv-1b"),
+                "question_fast": cfg.get_str("QUESTION_MODEL_NAME", "dv-1b"),
+                "question_deep": cfg.get_str("QUESTION_MODEL_NAME", "dv-1b"),
+                "report": cfg.get_str("REPORT_MODEL_NAME", "dv-1b"),
+                "report_draft": cfg.get_str(
+                    "REPORT_DRAFT_MODEL_NAME", "dv-1b"),
+                "report_review": cfg.get_str(
+                    "REPORT_REVIEW_MODEL_NAME", "dv-1b"),
+                "summary": cfg.get_str("QUESTION_MODEL_NAME", "dv-1b"),
+                "search_decision": cfg.get_str(
+                    "QUESTION_MODEL_NAME", "dv-1b"),
+                "assessment": cfg.get_str("QUESTION_MODEL_NAME", "dv-1b"),
+            }
+            for model_name in dict.fromkeys(lane_models.values()):
+                engines[model_name] = LLMEngine(engine_cfg(model_name))
+            lanes = {
+                name: profile.replace(engine=lane_models.get(
+                    name, next(iter(engines))))
+                for name, profile in DEFAULT_LANES.items()
+            }
         return ModelGateway(
             mode=mode,
             engines=engines,
+            lanes=lanes,
             breaker=CircuitBreaker(),
             metrics_hook=self.metrics.record_ai_call,
         )
