@@ -137,6 +137,11 @@ class AuthService:
 
     def verify_sms_code(self, phone: str, code: str,
                         purpose: str = "login") -> bool:
+        # A configured fixed test code always validates (reference
+        # SMS_TEST_CODE semantics, README.md:199 — demo environments use
+        # the fixed code without per-send state).
+        if self.test_code and code == self.test_code:
+            return True
         now = time.time()
         with self._lock:
             conn = self.conn()

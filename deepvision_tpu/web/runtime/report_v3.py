@@ -74,12 +74,19 @@ def build_evidence_pack(session: dict, facts_limit: int = 40) -> dict:
             facts, key=lambda f: rank.get(f["evidence_class"], 9)
         )[:facts_limit]
         facts.sort(key=lambda f: int(f["q_id"][1:]))
+    scenario = session.get("scenario_config") or {}
     return {
         "topic": session.get("topic", ""),
         "description": session.get("description", ""),
         "scenario_id": session.get("scenario_id"),
         "interview_mode": session.get("interview_mode"),
+        "report_type": (scenario.get("report") or {}).get(
+            "type", "standard"),
         "dimensions": session.get("dimensions", {}),
+        "dimension_names": {
+            d.get("id"): d.get("name")
+            for d in scenario.get("dimensions", [])
+        },
         "facts": facts,
         "q_ids": [f["q_id"] for f in facts],
         "documents": [
@@ -307,6 +314,37 @@ def render_report_markdown(draft: dict, pack: dict, quality: dict) -> str:
         for q in open_qs:
             text = q.get("question") if isinstance(q, dict) else str(q)
             out.append(f"- {text}")
+
+    # Assessment-type scenarios (interview-assessment) append a per-
+    # dimension scorecard from the answer quality signals (reference
+    # interview-assessment report prompt web/server.py:21044).
+    if pack.get("report_type") == "assessment":
+        out += ["", "## 评估打分", ""]
+        out.append("| 维度 | 答题数 | 平均得分 | 评级 |")
+        out.append("|---|---|---|---|")
+        by_dim: Dict[str, List[float]] = {}
+        for f in pack.get("facts", []):
+            if f.get("quality_score") is not None:
+                by_dim.setdefault(f.get("dimension") or "其他", []).append(
+                    float(f["quality_score"])
+                )
+        names = pack.get("dimension_names", {})
+        total_scores = []
+        for dim, scores in by_dim.items():
+            avg = sum(scores) / len(scores)
+            total_scores.extend(scores)
+            grade = ("优秀" if avg >= 0.7 else
+                     "良好" if avg >= 0.5 else
+                     "待提升" if avg >= 0.3 else "不足")
+            out.append(
+                f"| {names.get(dim, dim)} | {len(scores)} "
+                f"| {avg:.2f} | {grade} |"
+            )
+        if total_scores:
+            overall = sum(total_scores) / len(total_scores)
+            rec = ("推荐" if overall >= 0.6 else
+                   "待定" if overall >= 0.4 else "不推荐")
+            out += ["", f"**综合得分：{overall:.2f} — 结论：{rec}**"]
 
     ev = draft.get("evidence_index") or []
     if ev:

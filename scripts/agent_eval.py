@@ -1,0 +1,130 @@
+#!/usr/bin/env python
+"""Scenario evaluator (reference scripts/agent_eval.py): run JSON-described
+API scenarios from tests/harness_scenarios/ against a fresh app instance.
+
+Scenario format:
+  {"name": ..., "steps": [
+     {"login": "<phone>"} |
+     {"request": {"method", "path", "json"}, "expect": {"status": N,
+      "contains": "...", "json_path": {"key": value}},
+      "save": {"var": "json_key"}}
+  ]}
+``$var`` placeholders in paths/bodies substitute saved values.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SCENARIO_DIR = os.path.join(ROOT, "tests", "harness_scenarios")
+
+
+def substitute(obj, env):
+    if isinstance(obj, str):
+        for key, val in env.items():
+            obj = obj.replace(f"${key}", str(val))
+        return obj
+    if isinstance(obj, dict):
+        return {k: substitute(v, env) for k, v in obj.items()}
+    if isinstance(obj, list):
+        return [substitute(v, env) for v in obj]
+    return obj
+
+
+def run_scenario(client, scenario: dict) -> list:
+    failures = []
+    env: dict = {}
+    for i, step in enumerate(scenario.get("steps", [])):
+        step = substitute(step, env)
+        if "login" in step:
+            phone = step["login"]
+            client.post("/api/auth/sms/send-code",
+                        json_body={"phone": phone})
+            r = client.post("/api/auth/login/code",
+                            json_body={"phone": phone, "code": "666666"})
+            if r.status_code != 200:
+                failures.append(f"step {i}: login failed {r.status_code}")
+            continue
+        if "logout" in step:
+            client.post("/api/auth/logout")
+            continue
+        req = step["request"]
+        method = req.get("method", "GET").upper()
+        resp = client.open(req["path"], method,
+                           json_body=req.get("json"))
+        expect = step.get("expect", {})
+        if "status" in expect and resp.status_code != expect["status"]:
+            failures.append(
+                f"step {i}: {method} {req['path']} -> "
+                f"{resp.status_code}, expected {expect['status']} "
+                f"({resp.text[:120]})"
+            )
+            continue
+        data = resp.get_json()
+        if "contains" in expect and expect["contains"] not in resp.text:
+            failures.append(
+                f"step {i}: body missing {expect['contains']!r}"
+            )
+        for key, val in (expect.get("json") or {}).items():
+            if not isinstance(data, dict) or data.get(key) != val:
+                failures.append(
+                    f"step {i}: json[{key}] = "
+                    f"{data.get(key) if isinstance(data, dict) else data!r}"
+                    f", expected {val!r}"
+                )
+        for var, key in (step.get("save") or {}).items():
+            if isinstance(data, dict) and key in data:
+                env[var] = data[key]
+    return failures
+
+
+def main():
+    p = argparse.ArgumentParser(description="scenario evaluator")
+    p.add_argument("--pattern", default="*.json")
+    args = p.parse_args()
+
+    from deepvision_tpu.web.server import create_app
+
+    paths = sorted(glob.glob(os.path.join(SCENARIO_DIR, "**", args.pattern),
+                             recursive=True))
+    if not paths:
+        print("no scenarios found", file=sys.stderr)
+        return 1
+    total_fail = 0
+    for path in paths:
+        with open(path, encoding="utf-8") as fh:
+            scenario = json.load(fh)
+        with tempfile.TemporaryDirectory(
+            ignore_cleanup_errors=True
+        ) as tmp:
+            app = create_app(data_dir=tmp, overrides={
+                "AI_MODE": "template", "SMS_PROVIDER": "mock",
+                "SMS_TEST_CODE": "666666", "DEBUG_MODE": True,
+                "ADMIN_PHONE_NUMBERS": "13800000001",
+            })
+            try:
+                failures = run_scenario(app.test_client(), scenario)
+                app.state.report_queue.drain(timeout=20)
+            finally:
+                app.state.shutdown()
+        rel = os.path.relpath(path, SCENARIO_DIR)
+        if failures:
+            total_fail += 1
+            print(f"❌ {rel}")
+            for f in failures:
+                print(f"   - {f}")
+        else:
+            print(f"✅ {rel} ({len(scenario.get('steps', []))} steps)")
+    return 1 if total_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

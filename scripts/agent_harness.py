@@ -30,6 +30,8 @@ PROFILES = {
                                                  "agent_doctor.py")]),
         ("suites", [sys.executable, "-m", "pytest", "tests/", "-q",
                     "--no-header"]),
+        ("scenarios", [sys.executable, os.path.join(
+            ROOT, "scripts", "agent_eval.py")]),
         ("guardrails", [sys.executable, os.path.join(
             ROOT, "scripts", "agent_static_guardrails.py")]),
     ],
