@@ -41,6 +41,8 @@ class EngineConfig:
     prefills_per_step: int = 1
     strict_priority: bool = False
     decode_steps_per_call: int = 1
+    chunked_prefill: bool = False
+    prefill_chunk_size: int = 256
     seed: int = 0
     interpret: Optional[bool] = None
 
@@ -78,6 +80,8 @@ class LLMEngine:
             plan=plan,
             interpret=cfg.interpret,
             rng_seed=cfg.seed,
+            chunked_prefill=cfg.chunked_prefill,
+            prefill_chunk_size=cfg.prefill_chunk_size,
         )
         self.allocator = PageAllocator(cfg.num_pages)
         self.scheduler = ContinuousBatchingScheduler(

@@ -161,6 +161,31 @@ def write_prefill_pages(
     return k_pages_l, v_pages_l
 
 
+def write_chunk_tokens(
+    k_pages_l: jax.Array,
+    v_pages_l: jax.Array,
+    k_new: jax.Array,      # [B, C, KV, HD]
+    v_new: jax.Array,
+    block_tables: jax.Array,  # [B, MAX_PAGES]
+    positions: jax.Array,     # [B, C] absolute token positions
+    seq_lens: jax.Array,      # [B] — rows at positions >= len hit page 0
+):
+    """Scatter a prefill chunk's K/V rows (chunked prefill path)."""
+    P = k_pages_l.shape[2]
+    valid = positions < seq_lens[:, None]
+    page_slot = jnp.clip(
+        positions // P, 0, block_tables.shape[1] - 1
+    )
+    pages = jnp.take_along_axis(block_tables, page_slot, axis=1)
+    pages = jnp.where(valid, pages, 0)        # padded rows -> trash page
+    offs = jnp.where(valid, positions % P, 0)
+    kt = k_new.transpose(2, 0, 1, 3)  # [KV, B, C, HD]
+    vt = v_new.transpose(2, 0, 1, 3)
+    k_pages_l = k_pages_l.at[:, pages, offs].set(kt)
+    v_pages_l = v_pages_l.at[:, pages, offs].set(vt)
+    return k_pages_l, v_pages_l
+
+
 def write_decode_token(
     k_pages_l: jax.Array,
     v_pages_l: jax.Array,

@@ -174,6 +174,77 @@ def forward_prefill(
     return logits, {"k": tuple(k_list), "v": tuple(v_list)}
 
 
+def forward_prefill_chunk(
+    params,
+    cache,
+    tokens: jax.Array,        # [B, C] this chunk's tokens (0-padded tail)
+    chunk_starts: jax.Array,  # [B] absolute position of tokens[:, 0]
+    seq_lens: jax.Array,      # [B] total prompt length
+    block_tables: jax.Array,  # [B, MAX_PAGES]
+    *,
+    cfg: ModelConfig,
+    axis: Optional[str] = None,
+    interpret: Optional[bool] = None,
+):
+    """One chunk of chunked prefill: write this chunk's K/V pages, attend
+    over all pages up to each query's position.  ONE compiled program
+    serves every prompt length (no per-bucket compiles), and chunks can
+    interleave with decode steps so long prompts never stall the batch.
+
+    Returns ``(last_logits [B, V], new_cache)`` — logits of the row at
+    ``seq_lens - 1`` (meaningful on the final chunk).
+    """
+    from deepvision_tpu.engine.kernels.paged_chunk import (
+        paged_chunk_attention,
+    )
+    from deepvision_tpu.engine.kv_cache import write_chunk_tokens
+
+    B, C = tokens.shape
+    x = jnp.take(params["embed"], tokens, axis=0).astype(jnp.bfloat16)
+    if cfg.scale_embeddings:
+        x = x * jnp.asarray(cfg.d_model ** 0.5, dtype=x.dtype)
+    positions = chunk_starts[:, None] + jnp.arange(C, dtype=jnp.int32)
+
+    k_list = list(cache["k"])
+    v_list = list(cache["v"])
+    for layer_idx in range(cfg.n_layers):
+        blk = jax.tree.map(lambda a: a[layer_idx], params["blocks"])
+        h = rms_norm(x, blk["ln1"], cfg.rms_eps)
+        q = jnp.dot(h, blk["wq"], preferred_element_type=jnp.bfloat16)
+        k = jnp.dot(h, blk["wk"], preferred_element_type=jnp.bfloat16)
+        v = jnp.dot(h, blk["wv"], preferred_element_type=jnp.bfloat16)
+        n_heads_local = q.shape[-1] // cfg.head_dim
+        n_kv_local = k.shape[-1] // cfg.head_dim
+        q = q.reshape(B, C, n_heads_local, cfg.head_dim)
+        k = k.reshape(B, C, n_kv_local, cfg.head_dim)
+        v = v.reshape(B, C, n_kv_local, cfg.head_dim)
+        q = apply_rope(q, positions, cfg.rope_theta)
+        k = apply_rope(k, positions, cfg.rope_theta)
+
+        k_list[layer_idx], v_list[layer_idx] = write_chunk_tokens(
+            k_list[layer_idx], v_list[layer_idx], k, v,
+            block_tables, positions, seq_lens,
+        )
+        chunk_end = jnp.minimum(chunk_starts + C, seq_lens)
+        attn = paged_chunk_attention(
+            q, k_list[layer_idx], v_list[layer_idx], block_tables,
+            chunk_starts, chunk_end, interpret=interpret,
+        )
+        attn = attn.reshape(B, C, n_heads_local * cfg.head_dim)
+        out = jnp.dot(attn, blk["wo"], preferred_element_type=jnp.float32)
+        x = x + _psum(out, axis).astype(x.dtype)
+        h2 = rms_norm(x, blk["ln2"], cfg.rms_eps)
+        x = x + _mlp(h2, blk, axis)
+
+    x = rms_norm(x, params["final_norm"], cfg.rms_eps)
+    last_row = jnp.clip(seq_lens - 1 - chunk_starts, 0, C - 1)
+    last = jnp.take_along_axis(
+        x, last_row[:, None, None].astype(jnp.int32), axis=1
+    )[:, 0]
+    logits = _logits(last, params, cfg, axis)
+    return logits, {"k": tuple(k_list), "v": tuple(v_list)}
+
+
 # ---------------------------------------------------------------------------
 # Decode
 # ---------------------------------------------------------------------------

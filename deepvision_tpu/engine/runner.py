@@ -54,7 +54,12 @@ class ModelRunner:
         plan: Optional[ShardPlan] = None,
         interpret: Optional[bool] = None,
         rng_seed: int = 0,
+        chunked_prefill: bool = False,
+        prefill_chunk_size: int = 256,
     ):
+        self.chunked_prefill = chunked_prefill
+        self.prefill_chunk_size = prefill_chunk_size
+        self._prefill_chunk_fn = None
         self.cfg = cfg
         self.cache_cfg = cache_cfg
         self.max_slots = max_slots
@@ -128,6 +133,23 @@ class ModelRunner:
         wrapped = self._wrap(step, 7)
         return jax.jit(wrapped, donate_argnums=(1,))
 
+    def _build_prefill_chunk(self):
+        """One compiled program serves every prompt length (vs one compile
+        per bucket for classic prefill); enables decode interleaving."""
+        cfg, interpret, axis = self.cfg, self.interpret, self._axis
+
+        def step(params, cache, tokens, starts, seq_lens, bt, rng, temp,
+                 topk, topp):
+            logits, cache = model_lib.forward_prefill_chunk(
+                params, cache, tokens, starts, seq_lens, bt,
+                cfg=cfg, axis=axis, interpret=interpret,
+            )
+            tok = sample_tokens(logits, rng, temp, topk, topp)
+            return tok, cache
+
+        wrapped = self._wrap(step, 8)
+        return jax.jit(wrapped, donate_argnums=(1,))
+
     def _build_decode(self, n_steps: int):
         """Fused multi-step decode: ``n_steps`` tokens per dispatch via
         ``lax.scan``, amortizing host->device dispatch latency (which can
@@ -172,6 +194,11 @@ class ModelRunner:
         top_p: float = 1.0,
     ) -> int:
         """Prefill one prompt; returns the first sampled output token id."""
+        if self.chunked_prefill:
+            return self._prefill_chunked(
+                token_ids, page_ids, temperature=temperature,
+                top_k=top_k, top_p=top_p,
+            )
         n = len(token_ids)
         bucket = pick_bucket(n)
         page = self.cache_cfg.page_size
@@ -196,6 +223,42 @@ class ModelRunner:
             jnp.asarray([top_k], jnp.int32),
             jnp.asarray([top_p], jnp.float32),
         )
+        return int(tok[0])
+
+    def _prefill_chunked(
+        self,
+        token_ids: Sequence[int],
+        page_ids: Sequence[int],
+        *,
+        temperature: float = 0.0,
+        top_k: int = 0,
+        top_p: float = 1.0,
+    ) -> int:
+        n = len(token_ids)
+        C = self.prefill_chunk_size
+        MP = self.cache_cfg.max_pages_per_seq
+        bt = np.zeros((1, MP), dtype=np.int32)
+        bt[0, : min(len(page_ids), MP)] = np.asarray(
+            page_ids[:MP], dtype=np.int32
+        )
+        if self._prefill_chunk_fn is None:
+            self._prefill_chunk_fn = self._build_prefill_chunk()
+        fn = self._prefill_chunk_fn
+        seq_lens = jnp.asarray([n], jnp.int32)
+        bt_j = jnp.asarray(bt)
+        temp = jnp.asarray([temperature], jnp.float32)
+        tk = jnp.asarray([top_k], jnp.int32)
+        tp = jnp.asarray([top_p], jnp.float32)
+        tok = None
+        for start in range(0, n, C):
+            chunk = np.zeros((1, C), dtype=np.int32)
+            piece = np.asarray(token_ids[start:start + C], dtype=np.int32)
+            chunk[0, : len(piece)] = piece
+            tok, self.cache = fn(
+                self.params, self.cache, jnp.asarray(chunk),
+                jnp.asarray([start], jnp.int32), seq_lens, bt_j,
+                self.next_rng(), temp, tk, tp,
+            )
         return int(tok[0])
 
     def decode(

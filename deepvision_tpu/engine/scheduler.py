@@ -335,7 +335,11 @@ class ContinuousBatchingScheduler:
 
         retire_now: List[_ActiveSeq] = []
         for slot, seq in self._active.items():
-            new_len = len(seq.tokens) + 1
+            # seq.tokens already includes the token being fed this step, so
+            # its position is len-1 and seq_len (inclusive) is len — feeding
+            # len+1 would write KV one row late and leave a gap the
+            # attention mask still covers.
+            new_len = len(seq.tokens)
             # K fused steps write up to new_len + K - 1 positions; make sure
             # every write lands in an owned page (never the clamped last
             # block-table entry).
