@@ -226,6 +226,11 @@ class ModelGateway:
         if engine is None:
             raise GatewayError(f"no engine registered for lane {profile.name}")
         temp = profile.temperature if temperature is None else temperature
+        # Sessions reuse their prompt head across calls; keying the engine's
+        # prefix cache by session makes follow-up prefills skip the shared
+        # pages (device-side analogue of the reference's per-session prompt
+        # cache, web/server.py:4920).
+        prefix_key = (context or {}).get("session_id")
         return engine.generate_text(
             prompt,
             max_tokens=max_tokens,
@@ -234,6 +239,7 @@ class ModelGateway:
             top_p=profile.top_p,
             priority=profile.priority,
             timeout=timeout,
+            prefix_key=prefix_key,
         )
 
     # ------------------------------------------------------------------

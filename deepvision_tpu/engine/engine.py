@@ -133,6 +133,7 @@ class LLMEngine:
         priority: int = HIGH,
         timeout: Optional[float] = 120.0,
         request_id: Optional[str] = None,
+        prefix_key: Optional[str] = None,
     ):
         """Blocking text generation.  Returns ``(text, meta dict)``.
 
@@ -153,6 +154,7 @@ class LLMEngine:
             priority=priority,
             deadline_s=timeout,
             request_id=request_id,
+            prefix_key=prefix_key,
         )
         result = req.wait(timeout)
         if result is None:
@@ -183,7 +185,7 @@ class LLMEngine:
 
     def stats(self) -> dict:
         s = self.scheduler
-        return {
+        out = {
             "model": self.model_cfg.name,
             "queues": s.queue_depths(),
             "tokens_generated": s.tokens_generated,
@@ -191,3 +193,6 @@ class LLMEngine:
             "requests_finished": s.requests_finished,
             "rejected_overload": s.rejected_overload,
         }
+        if s.prefix_cache is not None:
+            out["prefix_cache"] = s.prefix_cache.stats()
+        return out

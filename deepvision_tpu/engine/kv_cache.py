@@ -84,18 +84,20 @@ def stack_cache(cache: dict):
 
 
 class PageAllocator:
-    """Thread-safe free-list allocator over the shared page pool.
+    """Thread-safe refcounting allocator over the shared page pool.
 
-    Page 0 is never handed out (trash page).  The continuous-batching
-    scheduler allocates pages at admission/decode-growth time and frees them
-    when a sequence finishes — the role the reference's per-session file
-    locks + bounded semaphores played for its remote-call slots (reference
-    web/server.py:2400,4276).
+    Page 0 is never handed out (trash page).  Pages are refcounted so the
+    prefix cache can share fully-written pages across sequences (a shared
+    page is only returned to the free list when its last reference drops) —
+    the continuous-batching scheduler allocates at admission/decode-growth
+    time and releases on retirement (role of the reference's per-session
+    locks + bounded semaphores, web/server.py:2400,4276).
     """
 
     def __init__(self, num_pages: int):
         self._lock = threading.Lock()
         self._free: List[int] = list(range(num_pages - 1, 0, -1))
+        self._refs: dict = {}
         self.num_pages = num_pages
 
     def available(self) -> int:
@@ -109,6 +111,8 @@ class PageAllocator:
                     f"KV page pool exhausted: want {n}, have {len(self._free)}"
                 )
             pages = [self._free.pop() for _ in range(n)]
+            for p in pages:
+                self._refs[p] = 1
         return pages
 
     def try_alloc(self, n: int):
@@ -117,11 +121,24 @@ class PageAllocator:
         except MemoryError:
             return None
 
-    def free(self, pages: List[int]) -> None:
+    def share(self, pages: List[int]) -> None:
+        """Add a reference to already-allocated pages (prefix reuse)."""
         with self._lock:
             for p in pages:
                 if p > 0:
+                    self._refs[p] = self._refs.get(p, 0) + 1
+
+    def free(self, pages: List[int]) -> None:
+        with self._lock:
+            for p in pages:
+                if p <= 0:
+                    continue
+                refs = self._refs.get(p, 1) - 1
+                if refs <= 0:
+                    self._refs.pop(p, None)
                     self._free.append(p)
+                else:
+                    self._refs[p] = refs
 
 
 def pages_needed(seq_len: int, page_size: int) -> int:

@@ -192,12 +192,17 @@ class ModelRunner:
         temperature: float = 0.0,
         top_k: int = 0,
         top_p: float = 1.0,
+        start_from: int = 0,
     ) -> int:
-        """Prefill one prompt; returns the first sampled output token id."""
+        """Prefill one prompt; returns the first sampled output token id.
+
+        ``start_from``: skip this many page-aligned tokens whose KV pages
+        are already populated (prefix-cache hit); requires chunked prefill.
+        """
         if self.chunked_prefill:
             return self._prefill_chunked(
                 token_ids, page_ids, temperature=temperature,
-                top_k=top_k, top_p=top_p,
+                top_k=top_k, top_p=top_p, start_from=start_from,
             )
         n = len(token_ids)
         bucket = pick_bucket(n)
@@ -233,6 +238,7 @@ class ModelRunner:
         temperature: float = 0.0,
         top_k: int = 0,
         top_p: float = 1.0,
+        start_from: int = 0,
     ) -> int:
         n = len(token_ids)
         C = self.prefill_chunk_size
@@ -250,7 +256,7 @@ class ModelRunner:
         tk = jnp.asarray([top_k], jnp.int32)
         tp = jnp.asarray([top_p], jnp.float32)
         tok = None
-        for start in range(0, n, C):
+        for start in range(start_from, n, C):
             chunk = np.zeros((1, C), dtype=np.int32)
             piece = np.asarray(token_ids[start:start + C], dtype=np.int32)
             chunk[0, : len(piece)] = piece

@@ -75,7 +75,9 @@ class GenerationRequest:
         priority: int = HIGH,
         deadline_s: Optional[float] = None,
         request_id: Optional[str] = None,
+        prefix_key: Optional[str] = None,
     ):
+        self.prefix_key = prefix_key
         if request_id is None:
             with GenerationRequest._counter_lock:
                 GenerationRequest._counter += 1
@@ -166,6 +168,13 @@ class ContinuousBatchingScheduler:
         self._page_size = cache_cfg.page_size
         self._max_pages_per_seq = cache_cfg.max_pages_per_seq
         self._eos_default: Optional[int] = None
+
+        from deepvision_tpu.engine.prefix_cache import PrefixCache
+
+        self.prefix_cache = (
+            PrefixCache(allocator, cache_cfg.page_size)
+            if getattr(runner, "chunked_prefill", False) else None
+        )
 
     # ------------------------------------------------------------------
     # Public API
@@ -278,12 +287,19 @@ class ContinuousBatchingScheduler:
                     self._max_pages_per_seq * self._page_size),
                 self._page_size,
             )
-            pages = self.alloc.try_alloc(need)
-            if pages is None:
+            shared_n, shared_pages = 0, []
+            if self.prefix_cache is not None:
+                shared_n, shared_pages = self.prefix_cache.lookup(
+                    req.prefix_key, req.prompt_tokens
+                )
+            fresh = self.alloc.try_alloc(need - len(shared_pages))
+            if fresh is None:
                 # Not enough KV memory — push back and wait for retirements.
+                self.alloc.free(shared_pages)
                 with self._lock:
                     self._queues[req.priority].appendleft(req)
                 break
+            pages = shared_pages + fresh
             queue_wait_ms = (time.monotonic() - req.submitted_at) * 1e3
             t0 = time.monotonic()
             try:
@@ -293,7 +309,12 @@ class ContinuousBatchingScheduler:
                     temperature=req.temperature,
                     top_k=req.top_k,
                     top_p=req.top_p,
+                    start_from=shared_n,
                 )
+                if self.prefix_cache is not None and req.prefix_key:
+                    self.prefix_cache.store(
+                        req.prefix_key, req.prompt_tokens, pages
+                    )
             except Exception as e:  # noqa: BLE001 — engine must not die
                 self.alloc.free(pages)
                 req.finish(

@@ -298,6 +298,7 @@ class TieredQuestionGenerator:
     ) -> Tuple[dict, dict]:
         """Returns (normalized_question, meta)."""
         context = {
+            "session_id": session.get("session_id"),
             "dimension": dimension.get("id"),
             "dimension_name": dimension.get("name"),
             "key_aspects": dimension.get("key_aspects", []),

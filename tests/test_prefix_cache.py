@@ -1,0 +1,87 @@
+"""Prefix cache: correctness of shared-page prefill + refcount integrity."""
+
+import numpy as np
+import pytest
+
+from deepvision_tpu.engine.engine import EngineConfig, LLMEngine
+from deepvision_tpu.engine.kv_cache import PageAllocator
+from deepvision_tpu.engine.prefix_cache import PrefixCache
+
+
+@pytest.fixture(scope="module")
+def engine():
+    eng = LLMEngine(EngineConfig(
+        model="dv-tiny-test", tokenizer="byte", max_slots=2,
+        num_pages=96, page_size=16, max_pages_per_seq=16,
+        chunked_prefill=True, prefill_chunk_size=16,
+        interpret=True, seed=0,
+    ))
+    eng.start()
+    yield eng
+    eng.shutdown()
+
+
+def test_prefix_hit_produces_identical_output(engine):
+    head = "共享的系统提示头部 " * 6  # > 1 page of byte tokens
+    p1 = head + "第一个问题"
+    p2 = head + "第二个不同的问题"
+
+    t_cold, _ = engine.generate_text(p1, max_tokens=6, temperature=0.0,
+                                     timeout=300, prefix_key="sess-1")
+    stats0 = engine.scheduler.prefix_cache.stats()
+    # second request shares the head through the cache
+    t_warm, _ = engine.generate_text(p2, max_tokens=6, temperature=0.0,
+                                     timeout=300, prefix_key="sess-1")
+    stats1 = engine.scheduler.prefix_cache.stats()
+    assert stats1["hits"] > stats0["hits"]
+    assert stats1["tokens_saved"] > 0
+
+    # the warm result must equal a completely cold run of the same prompt
+    t_ref, _ = engine.generate_text(p2, max_tokens=6, temperature=0.0,
+                                    timeout=300, prefix_key=None)
+    assert t_warm == t_ref
+
+
+def test_prefix_cache_refcounting():
+    alloc = PageAllocator(num_pages=32)
+    cache = PrefixCache(alloc, page_size=4)
+    tokens = list(range(10))  # 2 full pages + partial
+    pages = alloc.alloc(3)
+    avail_after_alloc = alloc.available()
+    cache.store("k", tokens, pages)
+    # cache holds refs on the 2 full pages; freeing the request's refs
+    # must NOT return those to the free list
+    alloc.free(pages)
+    assert alloc.available() == avail_after_alloc + 1  # only partial page
+    n, shared = cache.lookup("k", tokens + [99])
+    assert n == 8 and len(shared) == 2
+    cache.evict("k")
+    alloc.free(shared)
+    assert alloc.available() == 31  # all pages back (page 0 reserved)
+
+
+def test_prefix_lookup_respects_divergence():
+    alloc = PageAllocator(num_pages=32)
+    cache = PrefixCache(alloc, page_size=4)
+    tokens = [1, 2, 3, 4, 5, 6, 7, 8, 9]
+    pages = alloc.alloc(3)
+    cache.store("k", tokens, pages)
+    # diverges at position 2 -> no full page shared
+    n, shared = cache.lookup("k", [1, 2, 99, 4, 5, 6, 7, 8])
+    assert n == 0 and shared == []
+    # diverges at position 6 -> one full page
+    n, shared = cache.lookup("k", [1, 2, 3, 4, 5, 6, 99, 8])
+    assert n == 4 and len(shared) == 1
+    alloc.free(shared)
+
+
+def test_prefix_never_shares_whole_prompt():
+    alloc = PageAllocator(num_pages=32)
+    cache = PrefixCache(alloc, page_size=4)
+    tokens = [1, 2, 3, 4, 5, 6, 7, 8]
+    pages = alloc.alloc(2)
+    cache.store("k", tokens, pages)
+    # identical prompt: must leave at least the final token to re-run
+    n, shared = cache.lookup("k", tokens)
+    assert n == 4  # not 8
+    alloc.free(shared)
