@@ -20,6 +20,8 @@ ENGINE_PAGE_SIZE = 64
 ENGINE_MAX_PAGES_PER_SEQ = 32
 ENGINE_TP = 1
 ENGINE_DECODE_STEPS_PER_CALL = 8
+ENGINE_CHUNKED_PREFILL = True
+ENGINE_PREFILL_CHUNK_SIZE = 256
 
 # --- timeouts / token caps (reference web/config.py:55-109) ---------------
 API_TIMEOUT = 120

@@ -218,6 +218,10 @@ class AppState:
                     tp=cfg.get_int("ENGINE_TP", 1),
                     decode_steps_per_call=cfg.get_int(
                         "ENGINE_DECODE_STEPS_PER_CALL", 8),
+                    chunked_prefill=cfg.get_bool(
+                        "ENGINE_CHUNKED_PREFILL", True),
+                    prefill_chunk_size=cfg.get_int(
+                        "ENGINE_PREFILL_CHUNK_SIZE", 256),
                 )
 
             # One engine replica per DISTINCT configured model — question
