@@ -21,7 +21,6 @@ from deepvision_tpu.engine.scheduler import (
     HIGH,
     ContinuousBatchingScheduler,
     GenerationRequest,
-    GenerationResult,
 )
 from deepvision_tpu.engine.tokenizer import get_tokenizer
 from deepvision_tpu.engine.weights import load_or_init

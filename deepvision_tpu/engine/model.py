@@ -16,7 +16,6 @@ inference is remote HTTP — reference web/server.py:26860 ``call_claude``):
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax
@@ -24,11 +23,7 @@ import jax.numpy as jnp
 
 from deepvision_tpu.engine.config import ModelConfig
 from deepvision_tpu.engine.kernels.flash_attention import flash_attention
-from deepvision_tpu.engine.kernels.paged_attention import paged_attention
-from deepvision_tpu.engine.kv_cache import (
-    write_decode_token,
-    write_prefill_pages,
-)
+from deepvision_tpu.engine.kv_cache import write_prefill_pages
 
 
 # ---------------------------------------------------------------------------

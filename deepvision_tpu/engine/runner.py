@@ -18,13 +18,12 @@ Multi-chip: pass a mesh + ShardPlan and every step function is wrapped in
 
 from __future__ import annotations
 
-import functools
 from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from deepvision_tpu.engine import model as model_lib
 from deepvision_tpu.engine.config import ModelConfig

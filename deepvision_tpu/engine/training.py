@@ -9,7 +9,6 @@ per the same shard plan the serving engine uses.
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax
@@ -22,7 +21,6 @@ from deepvision_tpu.engine.config import ModelConfig
 from deepvision_tpu.engine.parallel import (
     DATA_AXIS,
     ShardPlan,
-    named_shardings,
     shard_params,
 )
 from deepvision_tpu.engine.weights import init_params

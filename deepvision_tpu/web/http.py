@@ -15,8 +15,6 @@ import hmac
 import io
 import json
 import re
-import threading
-import time
 import traceback
 from http.cookies import SimpleCookie
 from socketserver import ThreadingMixIn

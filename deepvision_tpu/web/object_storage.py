@@ -13,7 +13,6 @@ import datetime
 import hashlib
 import hmac
 import os
-import shutil
 from typing import List, Optional
 from urllib.parse import quote
 

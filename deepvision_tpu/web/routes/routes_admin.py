@@ -3,7 +3,6 @@
 
 from __future__ import annotations
 
-import json
 
 from deepvision_tpu.web.http import HTTPError
 from deepvision_tpu.web.licensing import LicenseError

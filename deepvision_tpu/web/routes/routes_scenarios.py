@@ -4,10 +4,7 @@ from __future__ import annotations
 
 from deepvision_tpu.web.http import HTTPError
 from deepvision_tpu.web.levels import level_allows
-from deepvision_tpu.web.scenarios import (
-    generate_scenario_from_description,
-    validate_scenario,
-)
+from deepvision_tpu.web.scenarios import generate_scenario_from_description
 
 
 def register(app, state):

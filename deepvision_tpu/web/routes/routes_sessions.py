@@ -12,7 +12,7 @@ import time
 from typing import Optional
 
 from deepvision_tpu.web.http import HTTPError
-from deepvision_tpu.web.levels import capabilities_for, clamp_interview_mode
+from deepvision_tpu.web.levels import clamp_interview_mode
 from deepvision_tpu.web.metrics import StageTimer
 from deepvision_tpu.web.pagination import (
     build_overload_response,

@@ -12,10 +12,8 @@ import json
 import os
 import re
 import secrets
-import time
 from typing import Dict, List, Optional
 
-from deepvision_tpu.engine.client import GatewayError
 from deepvision_tpu.web.meta_index import MetaIndex, utc_now_iso
 
 DEFAULT_BUILTIN_DIR = os.path.join(

@@ -10,18 +10,16 @@ from __future__ import annotations
 import argparse
 import json
 import os
-import secrets
 import threading
-import time
 from typing import Dict, Optional
 
 from deepvision_tpu.engine.client import CircuitBreaker, ModelGateway, configure_gateway
 from deepvision_tpu.web.authn import AuthService
 from deepvision_tpu.web.env import ConfigResolver
-from deepvision_tpu.web.http import App, HTTPError, Request, Response, jsonify
+from deepvision_tpu.web.http import App, HTTPError, Request, Response
 from deepvision_tpu.web.licensing import LicenseService
 from deepvision_tpu.web.meta_index import MetaIndex, utc_now_iso
-from deepvision_tpu.web.metrics import MetricsCollector, StageTimer
+from deepvision_tpu.web.metrics import MetricsCollector
 from deepvision_tpu.web.pagination import EndpointGate
 from deepvision_tpu.web.runtime.assistant import AssistantChat
 from deepvision_tpu.web.runtime.documents import DocumentPipeline
