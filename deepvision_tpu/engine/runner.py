@@ -229,6 +229,44 @@ class ModelRunner:
         )
         return int(tok[0])
 
+    def prefill_chunk_step(
+        self,
+        token_ids: Sequence[int],
+        page_ids: Sequence[int],
+        start: int,
+        *,
+        temperature: float = 0.0,
+        top_k: int = 0,
+        top_p: float = 1.0,
+    ) -> int:
+        """Run ONE prefill chunk ``[start, start + C)``; returns the sampled
+        token (meaningful once the final chunk has run).  The scheduler
+        interleaves these with decode steps so a long prompt never stalls
+        the decode batch for more than one chunk."""
+        n = len(token_ids)
+        C = self.prefill_chunk_size
+        MP = self.cache_cfg.max_pages_per_seq
+        bt = np.zeros((1, MP), dtype=np.int32)
+        bt[0, : min(len(page_ids), MP)] = np.asarray(
+            page_ids[:MP], dtype=np.int32
+        )
+        if self._prefill_chunk_fn is None:
+            self._prefill_chunk_fn = self._build_prefill_chunk()
+        fn = self._prefill_chunk_fn
+        chunk = np.zeros((1, C), dtype=np.int32)
+        piece = np.asarray(token_ids[start:start + C], dtype=np.int32)
+        chunk[0, : len(piece)] = piece
+        tok, self.cache = fn(
+            self.params, self.cache, jnp.asarray(chunk),
+            jnp.asarray([start], jnp.int32),
+            jnp.asarray([n], jnp.int32), jnp.asarray(bt),
+            self.next_rng(),
+            jnp.asarray([temperature], jnp.float32),
+            jnp.asarray([top_k], jnp.int32),
+            jnp.asarray([top_p], jnp.float32),
+        )
+        return int(tok[0])
+
     def _prefill_chunked(
         self,
         token_ids: Sequence[int],
@@ -241,30 +279,13 @@ class ModelRunner:
     ) -> int:
         n = len(token_ids)
         C = self.prefill_chunk_size
-        MP = self.cache_cfg.max_pages_per_seq
-        bt = np.zeros((1, MP), dtype=np.int32)
-        bt[0, : min(len(page_ids), MP)] = np.asarray(
-            page_ids[:MP], dtype=np.int32
-        )
-        if self._prefill_chunk_fn is None:
-            self._prefill_chunk_fn = self._build_prefill_chunk()
-        fn = self._prefill_chunk_fn
-        seq_lens = jnp.asarray([n], jnp.int32)
-        bt_j = jnp.asarray(bt)
-        temp = jnp.asarray([temperature], jnp.float32)
-        tk = jnp.asarray([top_k], jnp.int32)
-        tp = jnp.asarray([top_p], jnp.float32)
-        tok = None
+        tok = 0
         for start in range(start_from, n, C):
-            chunk = np.zeros((1, C), dtype=np.int32)
-            piece = np.asarray(token_ids[start:start + C], dtype=np.int32)
-            chunk[0, : len(piece)] = piece
-            tok, self.cache = fn(
-                self.params, self.cache, jnp.asarray(chunk),
-                jnp.asarray([start], jnp.int32), seq_lens, bt_j,
-                self.next_rng(), temp, tk, tp,
+            tok = self.prefill_chunk_step(
+                token_ids, page_ids, start,
+                temperature=temperature, top_k=top_k, top_p=top_p,
             )
-        return int(tok[0])
+        return tok
 
     def decode(
         self,

@@ -113,6 +113,21 @@ class GenerationRequest:
         self._done.set()
 
 
+class _PrefillJob:
+    """A prompt mid-prefill (chunked mode): advances one chunk per engine
+    step so admissions interleave with decode instead of stalling it."""
+
+    __slots__ = ("req", "pages", "pos", "queue_wait_ms", "t0", "last_tok")
+
+    def __init__(self, req, pages, start_pos, queue_wait_ms):
+        self.req = req
+        self.pages = pages
+        self.pos = start_pos
+        self.queue_wait_ms = queue_wait_ms
+        self.t0 = time.monotonic()
+        self.last_tok = 0
+
+
 class _ActiveSeq:
     __slots__ = (
         "req", "slot", "tokens", "pages", "generated", "prefill_ms",
@@ -141,7 +156,13 @@ class ContinuousBatchingScheduler:
         prefills_per_step: int = 1,
         strict_priority: bool = True,
         decode_steps_per_call: int = 1,
+        interleave_min_tokens: int = 4096,
     ):
+        # Prompts with fewer un-cached tokens than this prefill in one
+        # blocking call: measured on v5e, interleaving only pays off once
+        # prefill time rivals several decode windows (~4k+ tokens);
+        # below that it just taxes decode with single-token steps.
+        self.interleave_min_tokens = interleave_min_tokens
         self.runner = runner
         self.alloc = allocator
         self.max_slots = max_slots or runner.max_slots
@@ -151,6 +172,7 @@ class ContinuousBatchingScheduler:
         self.decode_steps_per_call = max(1, decode_steps_per_call)
 
         self._queues = {HIGH: deque(), LOW: deque()}
+        self._prefilling: deque = deque()
         self._active: Dict[int, _ActiveSeq] = {}
         self._free_slots = list(range(self.max_slots - 1, -1, -1))
         self._lock = threading.Lock()
@@ -199,6 +221,7 @@ class ContinuousBatchingScheduler:
             return {
                 "high": len(self._queues[HIGH]),
                 "low": len(self._queues[LOW]),
+                "prefilling": len(self._prefilling),
                 "active": len(self._active),
                 "free_slots": len(self._free_slots),
                 "free_pages": self.alloc.available(),
@@ -266,17 +289,19 @@ class ContinuousBatchingScheduler:
         )
 
     def step(self) -> bool:
-        """One admit+decode cycle.  Returns True if any work happened."""
+        """One admit+prefill-chunk+decode cycle."""
         admitted = self._admit()
+        prefilled = self._advance_prefills()
         decoded = self._decode_step()
-        return admitted or decoded
+        return admitted or prefilled or decoded
 
     # -- admission ------------------------------------------------------
 
     def _admit(self) -> bool:
         admitted = False
         for _ in range(self.prefills_per_step):
-            if not self._free_slots:
+            # count slots already promised to in-flight prefills
+            if len(self._free_slots) <= len(self._prefilling):
                 break
             req = self._peek_admissible()
             if req is None:
@@ -301,6 +326,17 @@ class ContinuousBatchingScheduler:
                 break
             pages = shared_pages + fresh
             queue_wait_ms = (time.monotonic() - req.submitted_at) * 1e3
+            if (
+                getattr(self.runner, "chunked_prefill", False)
+                and n_prompt - shared_n > self.interleave_min_tokens
+            ):
+                # Long-prompt path: enqueue a prefill job; chunks advance
+                # alongside decode so the batch never stalls for seconds.
+                self._prefilling.append(
+                    _PrefillJob(req, pages, shared_n, queue_wait_ms)
+                )
+                admitted = True
+                continue
             t0 = time.monotonic()
             try:
                 first = self.runner.prefill(
@@ -311,10 +347,6 @@ class ContinuousBatchingScheduler:
                     top_p=req.top_p,
                     start_from=shared_n,
                 )
-                if self.prefix_cache is not None and req.prefix_key:
-                    self.prefix_cache.store(
-                        req.prefix_key, req.prompt_tokens, pages
-                    )
             except Exception as e:  # noqa: BLE001 — engine must not die
                 self.alloc.free(pages)
                 req.finish(
@@ -323,17 +355,76 @@ class ContinuousBatchingScheduler:
                 )
                 continue
             prefill_ms = (time.monotonic() - t0) * 1e3
-            slot = self._free_slots.pop()
-            seq = _ActiveSeq(
-                req, slot, list(req.prompt_tokens) + [first], pages,
-                queue_wait_ms, prefill_ms,
-            )
-            seq.generated.append(first)
-            self._active[slot] = seq
+            self._activate(req, pages, first, queue_wait_ms, prefill_ms)
             admitted = True
-            if self._seq_finished(seq, first):
-                self._retire(seq, self._finish_reason(seq, first))
         return admitted
+
+    def _activate(self, req, pages, first_tok, queue_wait_ms,
+                  prefill_ms) -> None:
+        if self.prefix_cache is not None and req.prefix_key:
+            self.prefix_cache.store(req.prefix_key, req.prompt_tokens, pages)
+        slot = self._free_slots.pop()
+        seq = _ActiveSeq(
+            req, slot, list(req.prompt_tokens) + [first_tok], pages,
+            queue_wait_ms, prefill_ms,
+        )
+        seq.generated.append(first_tok)
+        self._active[slot] = seq
+        if self._seq_finished(seq, first_tok):
+            self._retire(seq, self._finish_reason(seq, first_tok))
+
+    def _advance_prefills(self) -> bool:
+        """Advance in-flight prefills (chunked mode).
+
+        Granularity is adaptive: when no decode is running, the oldest
+        prompt drains completely (TTFT identical to blocking prefill);
+        while decode is active, a bounded number of chunks run per step
+        and the decode loop drops to single-token steps so prefill and
+        decode fine-grain interleave.
+        """
+        if not self._prefilling:
+            return False
+        job = self._prefilling[0]
+        req = job.req
+        if req.cancelled.is_set() or (
+            req.deadline and time.monotonic() > req.deadline
+        ):
+            self._prefilling.popleft()
+            self.alloc.free(job.pages)
+            reason = "cancelled" if req.cancelled.is_set() else "timeout"
+            req.finish(self._mk_result(req, [], reason,
+                                       job.queue_wait_ms, 0, 0))
+            return True
+        if not self._free_slots:
+            return False  # wait for a retirement before finishing prefill
+        n = len(req.prompt_tokens)
+        chunks_left = -(-(n - job.pos) // self.runner.prefill_chunk_size)
+        budget = chunks_left if not self._active else max(
+            1, self.prefills_per_step * 2
+        )
+        try:
+            while budget > 0 and job.pos < n:
+                job.last_tok = self.runner.prefill_chunk_step(
+                    req.prompt_tokens, job.pages, job.pos,
+                    temperature=req.temperature, top_k=req.top_k,
+                    top_p=req.top_p,
+                )
+                job.pos += self.runner.prefill_chunk_size
+                budget -= 1
+        except Exception as e:  # noqa: BLE001
+            self._prefilling.popleft()
+            self.alloc.free(job.pages)
+            req.finish(self._mk_result(
+                req, [], "error", job.queue_wait_ms, 0, 0,
+                error=f"{type(e).__name__}: {e}",
+            ))
+            return True
+        if job.pos >= n:
+            self._prefilling.popleft()
+            prefill_ms = (time.monotonic() - job.t0) * 1e3
+            self._activate(req, job.pages, job.last_tok,
+                           job.queue_wait_ms, prefill_ms)
+        return True
 
     def _peek_admissible(self) -> Optional[GenerationRequest]:
         return self._pop_next()
@@ -385,6 +476,10 @@ class ContinuousBatchingScheduler:
         if not self._active:
             return bool(retire_now)
 
+        # Fine-grain interleave: single-token decode steps while prompts
+        # are mid-prefill, so waiting prompts advance every ~one step.
+        if self._prefilling:
+            K = 1
         out = self.runner.decode(
             tokens, lens, bt, temps, topk, topp, n_steps=K
         )  # [K, B]
