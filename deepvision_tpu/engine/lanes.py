@@ -83,6 +83,7 @@ CALL_TYPE_LANES: Dict[str, tuple] = {
     "assessment": ("assessment", None),
     "scenario": ("question", "question_deep"),
     "chat": ("question", None),
+    "solution_copy": ("report", "report_draft"),
 }
 
 

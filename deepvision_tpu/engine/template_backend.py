@@ -44,6 +44,8 @@ def generate(call_type: str, prompt: str, context: Optional[dict] = None) -> str
         return _scenario(prompt, context)
     if call_type == "chat":
         return _chat(prompt, context)
+    if call_type == "solution_copy":
+        return _solution_copy(prompt, context)
     return _summary(prompt, context)
 
 
@@ -233,6 +235,28 @@ def _scenario(prompt: str, ctx: dict) -> str:
                     "visualizations", "recommendations", "risks",
                     "next_steps", "appendix",
                 ],
+            },
+        },
+        ensure_ascii=False,
+    )
+
+
+def _solution_copy(prompt: str, ctx: dict) -> str:
+    title = ctx.get("title", "解决方案")
+    return json.dumps(
+        {
+            "chapter_copy": {
+                "value_statement": f"{title}：以最小实施成本覆盖核心诉求，"
+                                   "并为后续扩展预留空间。",
+                "approach": "按「先高价值低成本、后迭代扩展」的路线分阶段推进，"
+                            "每阶段以可验证的业务指标收口。",
+                "commitment": "交付物包含方案说明、里程碑计划与验收标准。",
+            },
+            "quality_review": {
+                "score": 0.85,
+                "strengths": ["证据引用完整", "结构覆盖齐全"],
+                "concerns": [],
+                "verdict": "pass",
             },
         },
         ensure_ascii=False,

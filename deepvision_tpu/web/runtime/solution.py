@@ -212,14 +212,63 @@ def _bullet_items(body: str) -> List[str]:
     return items
 
 
+_COPY_SCHEMA_KEYS = {
+    "chapter_copy": ("value_statement", "approach", "commitment"),
+    "quality_review": ("score", "verdict"),
+}
+
+
+def merge_ai_copy(payload: dict, ai_response: str) -> dict:
+    """Schema-validated merge of AI chapter copy + quality review into the
+    solution payload (reference schema-validated merge web/server.py:41210):
+    malformed or partial AI output never corrupts the payload."""
+    import json as _json
+    import re as _re
+
+    try:
+        m = _re.search(r"\{.*\}", ai_response, _re.S)
+        data = _json.loads(m.group(0) if m else ai_response)
+    except (ValueError, AttributeError):
+        return payload
+    if not isinstance(data, dict):
+        return payload
+    copy = data.get("chapter_copy")
+    if isinstance(copy, dict) and all(
+        isinstance(copy.get(k), str) and copy.get(k)
+        for k in _COPY_SCHEMA_KEYS["chapter_copy"]
+    ):
+        payload["chapter_copy"] = {
+            k: copy[k][:500] for k in _COPY_SCHEMA_KEYS["chapter_copy"]
+        }
+    review = data.get("quality_review")
+    if isinstance(review, dict) and all(
+        k in review for k in _COPY_SCHEMA_KEYS["quality_review"]
+    ):
+        try:
+            score = float(review["score"])
+        except (TypeError, ValueError):
+            return payload
+        payload["quality_review"] = {
+            "score": max(0.0, min(1.0, score)),
+            "verdict": str(review["verdict"])[:40],
+            "strengths": [str(s)[:120] for s in
+                          (review.get("strengths") or [])[:5]],
+            "concerns": [str(s)[:120] for s in
+                         (review.get("concerns") or [])[:5]],
+        }
+    return payload
+
+
 class SolutionService:
     """Sidecar snapshots + payload cache (reference :35405-36253,
-    :35523-35605)."""
+    :35523-35605); optional AI chapter copy + quality review when a
+    gateway is provided (reference :41442/:41488)."""
 
-    def __init__(self, meta, reports, sessions):
+    def __init__(self, meta, reports, sessions, gateway=None):
         self.meta = meta
         self.reports = reports
         self.sessions = sessions
+        self.gateway = gateway
 
     def get_payload(self, report_name: str) -> Optional[dict]:
         content = self.reports.load(report_name)
@@ -247,6 +296,22 @@ class SolutionService:
         payload = build_solution_payload(
             report_name, content, session=session, quality_meta=quality_meta
         )
+        if self.gateway is not None and getattr(
+            self.gateway, "mode", "off"
+        ) != "off":
+            try:
+                ai_text = self.gateway.call_model(
+                    "请为以下方案页撰写章节文案并做质量评审，输出 JSON："
+                    '{"chapter_copy": {"value_statement", "approach", '
+                    '"commitment"}, "quality_review": {"score": 0-1, '
+                    '"verdict", "strengths": [], "concerns": []}}。\n\n'
+                    f"方案概述：{payload.get('overview', '')[:1500]}",
+                    call_type="solution_copy",
+                    context={"title": payload.get("title", "")},
+                )
+                payload = merge_ai_copy(payload, ai_text)
+            except Exception:
+                pass  # AI copy is an enhancement; the payload stands alone
         self.meta.execute(
             "INSERT INTO solution_payload_cache (report_name, payload, "
             "fingerprint, updated_at) VALUES (?, ?, ?, ?) "

@@ -149,7 +149,8 @@ class AppState:
                 "DEEPVISION_TEST_REPORT_GENERATION_DELAY_SECONDS", "0") or 0),
         )
         self.solution = SolutionService(self.meta, self.reports,
-                                        self.sessions)
+                                        self.sessions,
+                                        gateway=self.gateway)
 
         # question overload guards (reference web/server.py:548-558)
         self.question_inflight = threading.BoundedSemaphore(
