@@ -102,9 +102,6 @@ class ModelRunner:
         param_specs = plan.param_specs(cfg)
         cache_specs = plan.cache_specs(cfg.n_layers)
 
-        def spec_tree(template, repl=P()):
-            return jax.tree.map(lambda _: repl, template)
-
         in_specs = (
             param_specs,
             cache_specs,

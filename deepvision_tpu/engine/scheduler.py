@@ -303,7 +303,7 @@ class ContinuousBatchingScheduler:
             # count slots already promised to in-flight prefills
             if len(self._free_slots) <= len(self._prefilling):
                 break
-            req = self._peek_admissible()
+            req = self._pop_next()
             if req is None:
                 break
             n_prompt = len(req.prompt_tokens)
@@ -426,8 +426,6 @@ class ContinuousBatchingScheduler:
                            job.queue_wait_ms, prefill_ms)
         return True
 
-    def _peek_admissible(self) -> Optional[GenerationRequest]:
-        return self._pop_next()
 
     # -- decode ---------------------------------------------------------
 

@@ -281,6 +281,9 @@ class AppState:
                      stage: str = "", stage_index: int = 0,
                      total_stages: int = 4, message: str = "") -> None:
         with self.thinking_lock:
+            if len(self.thinking) > 512:  # bound per-session status map
+                for key in list(self.thinking)[:128]:
+                    self.thinking.pop(key, None)
             self.thinking[session_id] = {
                 "active": active,
                 "stage": stage,

@@ -56,8 +56,10 @@ class SessionStore:
         self.meta = meta
         self.use_db_payload = use_db_payload
         self.locks = _NamedLocks()
-        # signature cache: session_id -> (signature, payload)
+        # signature cache: session_id -> (signature, payload); bounded so a
+        # long-lived process with many sessions doesn't hold them all.
         self._cache: Dict[str, Tuple[str, dict]] = {}
+        self._cache_cap = 256
         self._cache_lock = threading.Lock()
         self.cache_hits = 0
         self.cache_misses = 0
@@ -86,6 +88,7 @@ class SessionStore:
             sig = self.file_signature(session_id)
             with self._cache_lock:
                 self._cache[session_id] = (sig, session)
+                self._evict_cache_locked()
             self._sync_index(session, sig)
             if self.use_db_payload:
                 self.meta.kv_set(
@@ -123,7 +126,12 @@ class SessionStore:
         if data is not None and sig is not None:
             with self._cache_lock:
                 self._cache[session_id] = (sig, data)
+                self._evict_cache_locked()
         return data
+
+    def _evict_cache_locked(self) -> None:
+        while len(self._cache) > self._cache_cap:
+            self._cache.pop(next(iter(self._cache)))
 
     def delete(self, session_id: str) -> bool:
         with self.locks.get(session_id):
