@@ -608,9 +608,17 @@ def _decision_meta(state, session, dimension, meta) -> dict:
 
 def _schedule_prefetch(state, session_id: str) -> None:
     """Background prefetch of the next question (reference :13868-14404);
-    low priority — skipped entirely when AI is off."""
+    low priority — skipped entirely when AI is off, and gated on engine
+    idleness when PREFETCH_IDLE_ONLY (reference _wait_for_prefetch_idle
+    web/server.py:4546: prefetch must never steal capacity from live
+    requests)."""
     if state.gateway.mode == "off":
         return
+    if state.resolver.get_bool("PREFETCH_IDLE_ONLY", True):
+        for eng in state.gateway.engines.values():
+            q = eng.scheduler.queue_depths()
+            if q["active"] or q["high"] or q.get("prefilling"):
+                return
 
     def run():
         try:
