@@ -43,7 +43,8 @@ AUTH_SCHEMA = [
         purpose TEXT DEFAULT 'login',
         created_at REAL,
         expires_at REAL,
-        used INTEGER DEFAULT 0
+        used INTEGER DEFAULT 0,
+        attempts INTEGER DEFAULT 0
     )""",
     """CREATE TABLE IF NOT EXISTS auth_meta (
         key TEXT PRIMARY KEY, value TEXT)""",
@@ -71,6 +72,7 @@ class AuthService:
                  send_cooldown: int = 60, daily_cap: int = 20,
                  admin_phones: Optional[list] = None,
                  admin_user_ids: Optional[list] = None,
+                 max_verify_attempts: int = 5,
                  logger=None):
         self.db_path = db_path
         self.provider = provider
@@ -80,6 +82,7 @@ class AuthService:
         self.daily_cap = daily_cap
         self.admin_phones = set(admin_phones or [])
         self.admin_user_ids = set(str(u) for u in (admin_user_ids or []))
+        self.max_verify_attempts = max_verify_attempts
         self.logger = logger
         self._lock = threading.Lock()
         self._init_db()
@@ -88,6 +91,13 @@ class AuthService:
         conn = connect_db(self.db_path)
         for ddl in AUTH_SCHEMA:
             conn.execute(ddl)
+        try:  # migrate pre-attempts databases in place
+            conn.execute(
+                "ALTER TABLE auth_sms_codes ADD COLUMN attempts "
+                "INTEGER DEFAULT 0"
+            )
+        except Exception:
+            pass
         conn.commit()
         conn.close()
 
@@ -137,23 +147,32 @@ class AuthService:
 
     def verify_sms_code(self, phone: str, code: str,
                         purpose: str = "login") -> bool:
-        # A configured fixed test code always validates (reference
-        # SMS_TEST_CODE semantics, README.md:199 — demo environments use
-        # the fixed code without per-send state).
-        if self.test_code and code == self.test_code:
-            return True
+        # SMS_TEST_CODE only fixes the *issued* code (see issue_sms_code);
+        # verification always requires an issued, unconsumed, unexpired,
+        # attempt-capped record — matching the reference's semantics
+        # (web/server.py:11609-11689) and preventing login-as-anyone when
+        # a test code is configured.
         now = time.time()
         with self._lock:
             conn = self.conn()
             row = conn.execute(
-                "SELECT rowid, code_hash, expires_at, used FROM auth_sms_codes "
+                "SELECT rowid, code_hash, expires_at, used, attempts "
+                "FROM auth_sms_codes "
                 "WHERE phone = ? AND purpose = ? ORDER BY created_at DESC "
                 "LIMIT 1",
                 (phone, purpose),
             ).fetchone()
             if not row or row["used"] or row["expires_at"] < now:
                 return False
+            if (row["attempts"] or 0) >= self.max_verify_attempts:
+                return False
             if row["code_hash"] != hash_code(phone, code):
+                conn.execute(
+                    "UPDATE auth_sms_codes SET attempts = attempts + 1 "
+                    "WHERE rowid = ?",
+                    (row["rowid"],),
+                )
+                conn.commit()
                 return False
             conn.execute(
                 "UPDATE auth_sms_codes SET used = 1 WHERE rowid = ?",
@@ -245,8 +264,53 @@ class AuthService:
         return dict(row) if row else None
 
     # -- account merge (reference :11838-12160) --------------------------
-    def merge_preview(self, from_user_id, into_user_id) -> dict:
-        a, b = self.get_user(from_user_id), self.get_user(into_user_id)
+    # The merge source is NEVER taken from the request: a candidate is
+    # recorded server-side only at the moment the current user *proves
+    # control* of the conflicting identity (SMS code for a phone already
+    # owned by another account; WeChat OAuth callback for an openid bound
+    # to another account) — matching the reference flow where the merge
+    # candidate is stored in the verified session (server.py:11838-12160).
+
+    def set_merge_candidate(self, into_user_id, from_user_id,
+                            via: str) -> None:
+        conn = self.conn()
+        conn.execute(
+            "INSERT INTO auth_meta (key, value) VALUES (?, ?) "
+            "ON CONFLICT(key) DO UPDATE SET value = excluded.value",
+            (f"merge_candidate:{into_user_id}",
+             json.dumps({"from": from_user_id, "via": via,
+                         "ts": time.time()})),
+        )
+        conn.commit()
+
+    def _get_merge_candidate(self, into_user_id) -> Optional[dict]:
+        row = self.conn().execute(
+            "SELECT value FROM auth_meta WHERE key = ?",
+            (f"merge_candidate:{into_user_id}",),
+        ).fetchone()
+        if not row:
+            return None
+        info = json.loads(row["value"])
+        if time.time() - info.get("ts", 0) > 600:
+            return None
+        return info
+
+    @staticmethod
+    def masked_summary(user: dict) -> dict:
+        phone = user.get("phone") or ""
+        return {
+            "user_id": user["user_id"],
+            "phone": (phone[:3] + "****" + phone[-4:]) if phone else None,
+            "nickname": user.get("nickname"),
+            "created_at": user.get("created_at"),
+        }
+
+    def merge_preview(self, into_user_id) -> dict:
+        cand = self._get_merge_candidate(into_user_id)
+        if cand is None:
+            raise ValueError("没有待合并的账号（请先验证对方手机号或微信）")
+        a = self.get_user(cand["from"])
+        b = self.get_user(into_user_id)
         if not a or not b:
             raise ValueError("user not found")
         token = secrets.token_urlsafe(16)
@@ -256,12 +320,17 @@ class AuthService:
             "ON CONFLICT(key) DO UPDATE SET value = excluded.value",
             (f"merge_preview:{token}",
              json.dumps({"from": a["user_id"], "into": b["user_id"],
-                         "ts": time.time()})),
+                         "via": cand.get("via"), "ts": time.time()})),
         )
         conn.commit()
-        return {"preview_token": token, "from_user": a, "into_user": b}
+        return {
+            "preview_token": token,
+            "verified_via": cand.get("via"),
+            "from_user": self.masked_summary(a),
+            "into_user": self.masked_summary(b),
+        }
 
-    def merge_apply(self, token: str) -> dict:
+    def merge_apply(self, token: str, into_user_id) -> dict:
         conn = self.conn()
         row = conn.execute(
             "SELECT value FROM auth_meta WHERE key = ?",
@@ -272,12 +341,18 @@ class AuthService:
         info = json.loads(row["value"])
         if time.time() - info["ts"] > 600:
             raise ValueError("preview token expired")
+        if str(info["into"]) != str(into_user_id):
+            raise ValueError("preview token belongs to another account")
         conn.execute(
             "UPDATE wechat_identities SET user_id = ? WHERE user_id = ?",
             (info["into"], info["from"]),
         )
         conn.execute(
             "DELETE FROM auth_meta WHERE key = ?", (f"merge_preview:{token}",)
+        )
+        conn.execute(
+            "DELETE FROM auth_meta WHERE key = ?",
+            (f"merge_candidate:{info['into']}",),
         )
         conn.commit()
         return {"merged_from": info["from"], "into": info["into"]}

@@ -214,12 +214,15 @@ class Response:
     def set_cookie(
         self, name: str, value: str, *, max_age: Optional[int] = None,
         path: str = "/", http_only: bool = True, same_site: str = "Lax",
+        secure: bool = False,
     ):
         parts = [f"{name}={value}", f"Path={path}", f"SameSite={same_site}"]
         if max_age is not None:
             parts.append(f"Max-Age={max_age}")
         if http_only:
             parts.append("HttpOnly")
+        if secure:
+            parts.append("Secure")
         self._cookies.append("; ".join(parts))
 
     def delete_cookie(self, name: str, path: str = "/"):
@@ -324,6 +327,10 @@ class App:
         self.name = name
         self.secret_key = secret_key
         self.session_cookie = "dv_session"
+        self.session_cookie_secure = False
+        # Framework-level body cap: reject oversized Content-Length before
+        # wsgi.input is ever read (per-route checks run after buffering).
+        self.max_content_length: Optional[int] = 32 * 1024 * 1024
         self._routes: List[tuple] = []  # (regex, methods, fn, rule)
         self._before: List[Callable] = []
         self._after: List[Callable] = []
@@ -374,6 +381,14 @@ class App:
         return Response(rv)
 
     def handle(self, req: Request) -> Response:
+        if self.max_content_length is not None:
+            try:
+                length = int(req.environ.get("CONTENT_LENGTH") or 0)
+            except ValueError:
+                length = 0
+            if length > self.max_content_length:
+                return self._finalize(req, Response(
+                    {"error": "request body too large"}, status=413))
         # session decode
         token = req.cookies.get(self.session_cookie)
         if token:
@@ -419,6 +434,7 @@ class App:
                     self.session_cookie,
                     sign_session(dict(req.session), self.secret_key),
                     max_age=30 * 86400,
+                    secure=self.session_cookie_secure,
                 )
             else:
                 resp.delete_cookie(self.session_cookie)
@@ -554,7 +570,11 @@ class TestClient:
                 f"{k}={v}" for k, v in self._cookies.items()
             )
         for k, v in (headers or {}).items():
-            environ["HTTP_" + k.upper().replace("-", "_")] = v
+            key = k.upper().replace("-", "_")
+            if key in ("CONTENT_LENGTH", "CONTENT_TYPE"):
+                environ[key] = v  # WSGI carries these without HTTP_ prefix
+            else:
+                environ["HTTP_" + key] = v
 
         resp = self.app.handle(Request(environ))
         status, header_list, chunks = resp.wsgi()

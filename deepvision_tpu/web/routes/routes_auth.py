@@ -108,6 +108,19 @@ def register(app, state):
             raise HTTPError(502, {"error": f"微信授权失败：{e}"})
         if purpose == "bind":
             user = require_user(state, req)
+            existing = state.auth.user_by_wechat(identity["openid"])
+            if existing and existing["user_id"] != user["user_id"]:
+                # OAuth just proved control of a WeChat identity bound to
+                # another account — offer a merge instead of silently
+                # stealing the binding.
+                state.auth.set_merge_candidate(
+                    user["user_id"], existing["user_id"], "wechat")
+                return {
+                    "ok": False,
+                    "conflict": True,
+                    "merge_available": True,
+                    "detail": "该微信已绑定其他账号，可发起账号合并",
+                }
             state.auth.bind_wechat(
                 user["user_id"], identity["openid"],
                 identity["nickname"], identity["unionid"],
@@ -153,6 +166,22 @@ def register(app, state):
         if not state.auth.verify_sms_code(phone, code):
             raise HTTPError(401, {"error": "验证码错误或已过期"})
         conn = state.auth.conn()
+        other = conn.execute(
+            "SELECT user_id FROM users WHERE phone = ? AND user_id != ?",
+            (phone, user["user_id"]),
+        ).fetchone()
+        if other:
+            # The caller just proved control of a phone owned by another
+            # account: record a server-side merge candidate instead of
+            # rebinding (reference merge flow, server.py:11838-12160).
+            state.auth.set_merge_candidate(
+                user["user_id"], other["user_id"], "phone")
+            return {
+                "ok": False,
+                "conflict": True,
+                "merge_available": True,
+                "detail": "该手机号已绑定其他账号，可发起账号合并",
+            }
         conn.execute(
             "UPDATE users SET phone = ? WHERE user_id = ?",
             (phone, user["user_id"]),
@@ -162,21 +191,21 @@ def register(app, state):
 
     @app.route("/api/auth/account-merge/preview", methods=["POST"])
     def merge_preview(req):
+        # Merge source comes ONLY from the server-side verified candidate
+        # (set when this user proved control of the conflicting phone or
+        # WeChat identity); from_user_id in the body is ignored.
         user = require_user(state, req)
-        body = req.get_json()
         try:
-            return state.auth.merge_preview(
-                body.get("from_user_id"), user["user_id"]
-            )
+            return state.auth.merge_preview(user["user_id"])
         except ValueError as e:
             raise HTTPError(400, {"error": str(e)})
 
     @app.route("/api/auth/account-merge/apply", methods=["POST"])
     def merge_apply(req):
-        require_user(state, req)
+        user = require_user(state, req)
         try:
             return state.auth.merge_apply(
-                req.get_json().get("preview_token", "")
+                req.get_json().get("preview_token", ""), user["user_id"]
             )
         except ValueError as e:
             raise HTTPError(400, {"error": str(e)})

@@ -231,13 +231,15 @@ def register(app, state):
     @app.route("/api/reports/<path:filename>/refly/status")
     @app.route("/api/reports/<path:filename>/presentation/status")
     def refly_status(req, filename):
-        require_user(state, req)
+        user = require_user(state, req)
+        _load_owned_report(state, filename, user)
         return presentations.status(filename)
 
     @app.route("/api/reports/<path:filename>/presentation")
     @app.route("/api/reports/<path:filename>/presentation/link")
     def presentation_get(req, filename):
-        require_user(state, req)
+        user = require_user(state, req)
+        _load_owned_report(state, filename, user)
         st = presentations.status(filename)
         if st.get("state") != "completed":
             raise HTTPError(404, {"error": "暂无演示稿"})
@@ -259,7 +261,8 @@ def register(app, state):
     @app.route("/api/reports/<path:filename>/presentation/abort",
                methods=["POST"])
     def presentation_abort(req, filename):
-        require_user(state, req)
+        user = require_user(state, req)
+        _load_owned_report(state, filename, user)
         return presentations.abort(filename)
 
 

@@ -191,6 +191,10 @@ class AppState:
             raise StartupError(
                 "production mode refuses SMS_PROVIDER=mock"
             )
+        if self.resolver.get_str("SMS_TEST_CODE", ""):
+            raise StartupError(
+                "production mode refuses a fixed SMS_TEST_CODE"
+            )
 
     def _build_gateway(self) -> ModelGateway:
         cfg = self.resolver
@@ -355,6 +359,10 @@ def create_app(data_dir: Optional[str] = None,
     state = AppState(data_dir=data_dir, overrides=overrides)
     app = App("deepvision-tpu", secret_key=state.secret_key)
     app.state = state  # type: ignore[attr-defined]
+    app.session_cookie_secure = state.resolver.get_bool(
+        "SESSION_COOKIE_SECURE", not state.debug_mode)
+    app.max_content_length = state.resolver.get_int(
+        "MAX_CONTENT_LENGTH", 32 * 1024 * 1024)
 
     @app.after_request
     def _metrics_hook(req: Request, resp: Response):
