@@ -43,8 +43,53 @@ class MetricsCollector:
         self._endpoint_samples: Dict[str, deque] = defaultdict(
             lambda: deque(maxlen=500)
         )
+        self._question_gen: dict = self._empty_question_gen()
         self._flusher: Optional[threading.Thread] = None
         self._stop = threading.Event()
+
+    @staticmethod
+    def _empty_question_gen() -> dict:
+        return {
+            "count": 0, "by_tier": {}, "by_lane": {},
+            "hedge_triggered": 0, "fallback_triggered": 0,
+            "cache_hits": 0, "by_mode": {},
+        }
+
+    # -- question generation aggregates (reference get_question_generation_
+    # stats_snapshot, web/server.py:44909-44913) --------------------------
+    def record_question_generation(
+        self, *, mode: str = "", tier: str = "", lane: str = "",
+        hedged: bool = False, fallback: bool = False, cached: bool = False,
+    ) -> None:
+        with self._lock:
+            agg = self._question_gen
+            agg["count"] += 1
+            if tier:
+                agg["by_tier"][tier] = agg["by_tier"].get(tier, 0) + 1
+            if lane:
+                agg["by_lane"][lane] = agg["by_lane"].get(lane, 0) + 1
+            if hedged:
+                agg["hedge_triggered"] += 1
+            if fallback:
+                agg["fallback_triggered"] += 1
+            if cached:
+                agg["cache_hits"] += 1
+            m = agg["by_mode"].setdefault(
+                mode or "standard", {"count": 0, "fallback_triggered": 0}
+            )
+            m["count"] += 1
+            if fallback:
+                m["fallback_triggered"] += 1
+
+    def question_generation_stats(self) -> dict:
+        with self._lock:
+            return json.loads(json.dumps(self._question_gen))
+
+    def search_decision_stats(self) -> dict:
+        with self._lock:
+            yes = self._counters.get("search.decision.yes", 0)
+            no = self._counters.get("search.decision.no", 0)
+        return {"total": yes + no, "need_search": yes, "no_search": no}
 
     # -- recording -------------------------------------------------------
     def record_ai_call(self, call_type: str, meta: dict) -> None:
@@ -116,6 +161,7 @@ class MetricsCollector:
             self._stage_samples.clear()
             self._counters.clear()
             self._endpoint_samples.clear()
+            self._question_gen = self._empty_question_gen()
 
     # -- persistence (flush thread; reference :14421) --------------------
     def start_flusher(self) -> None:

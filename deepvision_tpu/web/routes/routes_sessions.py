@@ -227,6 +227,13 @@ def register(app, state):
         )
         state.question_cache.put(cache_key, payload)
         state.metrics.record_stages("question", timer.stages)
+        state.metrics.record_question_generation(
+            mode=session.get("interview_mode") or "standard",
+            tier=meta.get("tier_used") or "",
+            lane=meta.get("selected_lane") or "",
+            hedged=bool(meta.get("hedge_triggered")),
+            fallback=bool(meta.get("fallback_triggered")),
+        )
         _schedule_prefetch(state, session_id)
         return payload
 

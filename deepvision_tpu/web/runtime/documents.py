@@ -337,11 +337,24 @@ class DocumentPipeline:
         return summary
 
     def summaries_stats(self) -> dict:
+        """Summary-cache payload (reference get_summaries_info
+        web/server.py:44948-44981)."""
         row = self.meta.query_one(
             "SELECT COUNT(*) AS n, COALESCE(SUM(LENGTH(summary)), 0) AS bytes "
             "FROM summary_cache_store"
         )
-        return {"count": row["n"], "total_chars": row["bytes"]}
+        size = int(row["bytes"] or 0)
+        return {
+            "cache_enabled": True,
+            "threshold": self.summary_min_chars,
+            "target_length": self.summary_target_chars,
+            "cached_count": int(row["n"] or 0),
+            "cache_size_bytes": size,
+            "cache_size_kb": round(size / 1024, 2),
+            # legacy keys kept for earlier consumers
+            "count": int(row["n"] or 0),
+            "total_chars": size,
+        }
 
     def clear_summaries(self) -> int:
         row = self.meta.query_one(

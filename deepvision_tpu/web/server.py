@@ -424,7 +424,30 @@ def create_app(data_dir: Optional[str] = None,
             except ValueError:
                 last_n = None
         stats = state.metrics.statistics(last_n)
+        stage_latency = stats.get("stage_latency", {})
+
+        def _pipeline_stages(prefix: str) -> dict:
+            return {
+                key[len(prefix):]: profile
+                for key, profile in stage_latency.items()
+                if key.startswith(prefix)
+            }
+
+        qgen = state.metrics.question_generation_stats()
+        stats["question_generation"] = qgen
+        stats["question_generation_runtime"] = {
+            "stages": _pipeline_stages("question."),
+            "by_mode": qgen.get("by_mode", {}),
+        }
+        stats["search_decision"] = state.metrics.search_decision_stats()
         stats["report_generation_queue"] = state.report_queue.queue_snapshot()
+        stats["report_generation_runtime"] = {
+            "stages": _pipeline_stages("report_v3."),
+        }
+        stats["list_overload"] = {
+            f"{name}_list_rejected": gate.rejections
+            for name, gate in state.list_gates.items()
+        }
         stats["session_cache"] = {
             "hits": state.sessions.cache_hits,
             "misses": state.sessions.cache_misses,
@@ -433,12 +456,20 @@ def create_app(data_dir: Optional[str] = None,
             "hits": state.question_cache.hits,
             "misses": state.question_cache.misses,
         }
+        # TPU-native additions: engine slot/page stats + circuit snapshot.
+        stats["engine"] = {
+            name: eng.stats() for name, eng in state.gateway.engines.items()
+        }
+        stats["gateway_circuit"] = state.gateway.circuit_snapshot()
         return stats
 
     @app.route("/api/metrics/reset", methods=["POST"])
     def api_metrics_reset(req):
         require_admin(state, req)
         state.metrics.reset()
+        for gate in state.list_gates.values():
+            gate.rejections = 0
+        state.report_queue.rejected = 0
         return {"ok": True}
 
     # --- summaries (reference :44948-45010) -----------------------------

@@ -317,6 +317,29 @@ def test_metrics_endpoint(client):
     login(client)
     data = client.get("/api/metrics").get_json()
     assert "ai_calls" in data and "report_generation_queue" in data
+    # A.6 payload parity (reference web/server.py:44901-44923)
+    for key in ("question_generation", "question_generation_runtime",
+                "search_decision", "report_generation_runtime",
+                "list_overload", "list_endpoints"):
+        assert key in data, key
+    assert "by_mode" in data["question_generation_runtime"]
+
+
+def test_metrics_question_generation_stats(client):
+    login(client)
+    sid = make_session(client)["session_id"]
+    r = client.post(f"/api/sessions/{sid}/next-question", json_body={})
+    assert r.status_code == 200
+    data = client.get("/api/metrics").get_json()
+    qg = data["question_generation"]
+    assert qg["count"] >= 1
+    assert sum(m["count"] for m in qg["by_mode"].values()) >= 1
+    # reset clears aggregates (admin only)
+    admin = client._app.test_client()
+    login(admin, "13800000001")
+    assert admin.post("/api/metrics/reset", json_body={}).status_code == 200
+    data = client.get("/api/metrics").get_json()
+    assert data["question_generation"]["count"] == 0
 
 
 def test_admin_requires_admin(client):
