@@ -21,6 +21,15 @@ from typing import Dict, Optional
 from deepvision_tpu.engine import template_backend
 from deepvision_tpu.engine.lanes import DEFAULT_LANES, LaneProfile, resolve_lanes
 
+# Call types whose responses the app json-parses — these get kernel-level
+# grammar constraints (engine/constrained.py); free-text call types
+# (summaries, chat) stay unconstrained.
+JSON_CALL_TYPES = frozenset({
+    "question", "question_fast", "question_deep",
+    "report", "report_draft", "report_review",
+    "search_decision", "assessment", "scenario", "solution_copy",
+})
+
 
 class GatewayError(RuntimeError):
     pass
@@ -240,6 +249,7 @@ class ModelGateway:
             priority=profile.priority,
             timeout=timeout,
             prefix_key=prefix_key,
+            json_mode=call_type in JSON_CALL_TYPES,
         )
 
     # ------------------------------------------------------------------

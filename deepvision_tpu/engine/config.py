@@ -113,6 +113,26 @@ DV_TINY_1B = _register(
     )
 )
 
+# dv-mini: the in-repo REAL checkpoint — trained from scratch on TPU by
+# scripts/train_dv_mini.py over the synthetic interview corpus with the
+# dv_bpe_8k tokenizer (resources/tokenizer/).  vocab_size is the tokenizer's
+# vocab padded up to a multiple of 128 for MXU-aligned matmuls.
+DV_MINI = _register(
+    ModelConfig(
+        name="dv-mini",
+        vocab_size=4736,
+        d_model=512,
+        n_layers=6,
+        n_heads=4,
+        n_kv_heads=2,
+        d_ff=1536,
+        head_dim=128,
+        rope_theta=10000.0,
+        max_seq_len=2048,
+        tie_embeddings=True,
+    )
+)
+
 # Gemma-2B-class architecture (question lane default).
 GEMMA_2B = _register(
     ModelConfig(

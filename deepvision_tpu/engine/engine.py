@@ -44,6 +44,12 @@ class EngineConfig:
     prefill_chunk_size: int = 256
     seed: int = 0
     interpret: Optional[bool] = None
+    # Grammar-constrained decoding (engine/constrained.py).  Enabled when
+    # the tokenizer vocab is small enough that the [states, vocab] table is
+    # cheap HBM (the table is O(states*vocab)); json_mode requests then get
+    # kernel-level JSON guarantees.
+    json_dfa: bool = True
+    json_dfa_max_vocab: int = 16384
 
 
 class LLMEngine:
@@ -57,6 +63,20 @@ class LLMEngine:
             max_pages_per_seq=cfg.max_pages_per_seq,
         )
         params = load_or_init(self.model_cfg, cfg.checkpoint_dir, cfg.seed)
+
+        self.json_dfa = None
+        if cfg.json_dfa and self.tokenizer.vocab_size <= cfg.json_dfa_max_vocab:
+            import os
+
+            from deepvision_tpu.engine.constrained import JsonTokenDfa
+
+            cache_dir = os.environ.get(
+                "DV_DFA_CACHE_DIR",
+                os.path.join(os.path.expanduser("~"), ".cache",
+                             "deepvision_tpu"),
+            )
+            self.json_dfa = JsonTokenDfa.build(
+                self.tokenizer, cache_dir=cache_dir)
 
         mesh = plan = None
         if cfg.tp > 1:
@@ -81,6 +101,8 @@ class LLMEngine:
             rng_seed=cfg.seed,
             chunked_prefill=cfg.chunked_prefill,
             prefill_chunk_size=cfg.prefill_chunk_size,
+            dfa_table=(self.json_dfa.table
+                       if self.json_dfa is not None else None),
         )
         self.allocator = PageAllocator(cfg.num_pages)
         self.scheduler = ContinuousBatchingScheduler(
@@ -91,6 +113,7 @@ class LLMEngine:
             prefills_per_step=cfg.prefills_per_step,
             strict_priority=cfg.strict_priority,
             decode_steps_per_call=cfg.decode_steps_per_call,
+            dfa=self.json_dfa,
         )
         self._started = False
         self._start_lock = threading.Lock()
@@ -133,6 +156,7 @@ class LLMEngine:
         timeout: Optional[float] = 120.0,
         request_id: Optional[str] = None,
         prefix_key: Optional[str] = None,
+        json_mode: bool = False,
     ):
         """Blocking text generation.  Returns ``(text, meta dict)``.
 
@@ -154,6 +178,7 @@ class LLMEngine:
             deadline_s=timeout,
             request_id=request_id,
             prefix_key=prefix_key,
+            json_mode=json_mode and self.json_dfa is not None,
         )
         result = req.wait(timeout)
         if result is None:
@@ -177,6 +202,7 @@ class LLMEngine:
             "completion_tokens": len(result.token_ids),
             "prompt_tokens": len(prompt_tokens),
             "finish_reason": result.finish_reason,
+            "json_constrained": bool(json_mode and self.json_dfa is not None),
         }
         return text, meta
 

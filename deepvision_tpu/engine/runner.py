@@ -29,7 +29,7 @@ from deepvision_tpu.engine import model as model_lib
 from deepvision_tpu.engine.config import ModelConfig
 from deepvision_tpu.engine.kv_cache import CacheConfig, init_cache
 from deepvision_tpu.engine.parallel import ShardPlan, named_shardings
-from deepvision_tpu.engine.sampling import sample_tokens
+from deepvision_tpu.engine.sampling import sample_tokens_constrained
 
 PREFILL_BUCKETS = (128, 256, 512, 1024, 2048, 4096, 8192)
 
@@ -55,7 +55,23 @@ class ModelRunner:
         rng_seed: int = 0,
         chunked_prefill: bool = False,
         prefill_chunk_size: int = 256,
+        dfa_table=None,
     ):
+        # Grammar table for constrained decoding (engine/constrained.py):
+        # [S, V_tok] int, next-state or -1.  Padded on the vocab axis to the
+        # model's (MXU-aligned) vocab: padding ids stay allowed in the FREE
+        # row 0 (unconstrained behavior unchanged) and forbidden elsewhere.
+        V = cfg.vocab_size
+        if dfa_table is None:
+            table = np.zeros((1, V), dtype=np.int32)
+        else:
+            table = np.asarray(dfa_table, dtype=np.int32)
+            if table.shape[1] < V:
+                pad = np.full((table.shape[0], V - table.shape[1]), -1,
+                              dtype=np.int32)
+                pad[0, :] = 0  # FREE row stays all-allowed
+                table = np.concatenate([table, pad], axis=1)
+        self._dfa_table = jnp.asarray(table)
         self.chunked_prefill = chunked_prefill
         self.prefill_chunk_size = prefill_chunk_size
         self._prefill_chunk_fn = None
@@ -118,15 +134,17 @@ class ModelRunner:
     def _build_prefill(self, bucket: int):
         cfg, interpret, axis = self.cfg, self.interpret, self._axis
 
-        def step(params, cache, tokens, seq_lens, pages, rng, temp, topk, topp):
+        def step(params, cache, tokens, seq_lens, pages, rng, temp, topk,
+                 topp, dstate, dfa):
             logits, cache = model_lib.forward_prefill(
                 params, cache, tokens, seq_lens, pages,
                 cfg=cfg, axis=axis, interpret=interpret,
             )
-            tok = sample_tokens(logits, rng, temp, topk, topp)
+            tok, _ = sample_tokens_constrained(
+                logits, rng, temp, topk, topp, dstate, dfa)
             return tok, cache
 
-        wrapped = self._wrap(step, 7)
+        wrapped = self._wrap(step, 9)
         return jax.jit(wrapped, donate_argnums=(1,))
 
     def _build_prefill_chunk(self):
@@ -135,41 +153,45 @@ class ModelRunner:
         cfg, interpret, axis = self.cfg, self.interpret, self._axis
 
         def step(params, cache, tokens, starts, seq_lens, bt, rng, temp,
-                 topk, topp):
+                 topk, topp, dstate, dfa):
             logits, cache = model_lib.forward_prefill_chunk(
                 params, cache, tokens, starts, seq_lens, bt,
                 cfg=cfg, axis=axis, interpret=interpret,
             )
-            tok = sample_tokens(logits, rng, temp, topk, topp)
+            tok, _ = sample_tokens_constrained(
+                logits, rng, temp, topk, topp, dstate, dfa)
             return tok, cache
 
-        wrapped = self._wrap(step, 8)
+        wrapped = self._wrap(step, 10)
         return jax.jit(wrapped, donate_argnums=(1,))
 
     def _build_decode(self, n_steps: int):
         """Fused multi-step decode: ``n_steps`` tokens per dispatch via
         ``lax.scan``, amortizing host->device dispatch latency (which can
-        dominate single-token steps) across several tokens."""
+        dominate single-token steps) across several tokens.  The grammar
+        DFA state rides the scan carry so constrained masks stay exact
+        across all fused steps without any host round-trip."""
         cfg, interpret, axis = self.cfg, self.interpret, self._axis
 
         def step(params, cache, tokens, seq_lens, block_tables, rng, temp,
-                 topk, topp):
+                 topk, topp, dstates, dfa):
             def body(carry, rng_step):
-                toks, lens, cache = carry
+                toks, lens, states, cache = carry
                 logits, cache = model_lib.forward_decode(
                     params, cache, toks, lens, block_tables,
                     cfg=cfg, axis=axis, interpret=interpret,
                 )
-                new = sample_tokens(logits, rng_step, temp, topk, topp)
-                return (new, lens + 1, cache), new
+                new, nstates = sample_tokens_constrained(
+                    logits, rng_step, temp, topk, topp, states, dfa)
+                return (new, lens + 1, nstates, cache), new
 
             rngs = jax.random.split(rng, n_steps)
-            (_, _, cache), out = jax.lax.scan(
-                body, (tokens, seq_lens, cache), rngs
+            (_, _, _, cache), out = jax.lax.scan(
+                body, (tokens, seq_lens, dstates, cache), rngs
             )
             return out, cache  # out: [n_steps, B]
 
-        wrapped = self._wrap(step, 7)
+        wrapped = self._wrap(step, 9)
         return jax.jit(wrapped, donate_argnums=(1,))
 
     # ------------------------------------------------------------------
@@ -189,16 +211,19 @@ class ModelRunner:
         top_k: int = 0,
         top_p: float = 1.0,
         start_from: int = 0,
+        dfa_state: int = 0,
     ) -> int:
         """Prefill one prompt; returns the first sampled output token id.
 
         ``start_from``: skip this many page-aligned tokens whose KV pages
         are already populated (prefix-cache hit); requires chunked prefill.
+        ``dfa_state``: grammar state for the first sampled token (0 = FREE).
         """
         if self.chunked_prefill:
             return self._prefill_chunked(
                 token_ids, page_ids, temperature=temperature,
                 top_k=top_k, top_p=top_p, start_from=start_from,
+                dfa_state=dfa_state,
             )
         n = len(token_ids)
         bucket = pick_bucket(n)
@@ -223,6 +248,8 @@ class ModelRunner:
             jnp.asarray([temperature], jnp.float32),
             jnp.asarray([top_k], jnp.int32),
             jnp.asarray([top_p], jnp.float32),
+            jnp.asarray([dfa_state], jnp.int32),
+            self._dfa_table,
         )
         return int(tok[0])
 
@@ -235,6 +262,7 @@ class ModelRunner:
         temperature: float = 0.0,
         top_k: int = 0,
         top_p: float = 1.0,
+        dfa_state: int = 0,
     ) -> int:
         """Run ONE prefill chunk ``[start, start + C)``; returns the sampled
         token (meaningful once the final chunk has run).  The scheduler
@@ -261,6 +289,8 @@ class ModelRunner:
             jnp.asarray([temperature], jnp.float32),
             jnp.asarray([top_k], jnp.int32),
             jnp.asarray([top_p], jnp.float32),
+            jnp.asarray([dfa_state], jnp.int32),
+            self._dfa_table,
         )
         return int(tok[0])
 
@@ -273,6 +303,7 @@ class ModelRunner:
         top_k: int = 0,
         top_p: float = 1.0,
         start_from: int = 0,
+        dfa_state: int = 0,
     ) -> int:
         n = len(token_ids)
         C = self.prefill_chunk_size
@@ -281,6 +312,7 @@ class ModelRunner:
             tok = self.prefill_chunk_step(
                 token_ids, page_ids, start,
                 temperature=temperature, top_k=top_k, top_p=top_p,
+                dfa_state=dfa_state,
             )
         return tok
 
@@ -293,12 +325,15 @@ class ModelRunner:
         top_k: np.ndarray,
         top_p: np.ndarray,
         n_steps: int = 1,
+        dfa_states: Optional[np.ndarray] = None,
     ) -> np.ndarray:
         """Run ``n_steps`` fused decode steps; returns ``[n_steps, B]``
         sampled tokens (callers discard post-EOS tail tokens)."""
         fn = self._decode_fns.get(n_steps)
         if fn is None:
             fn = self._decode_fns[n_steps] = self._build_decode(n_steps)
+        if dfa_states is None:
+            dfa_states = np.zeros(len(tokens), np.int32)
         tok, self.cache = fn(
             self.params, self.cache, jnp.asarray(tokens, jnp.int32),
             jnp.asarray(seq_lens, jnp.int32),
@@ -306,5 +341,7 @@ class ModelRunner:
             jnp.asarray(temperature, jnp.float32),
             jnp.asarray(top_k, jnp.int32),
             jnp.asarray(top_p, jnp.float32),
+            jnp.asarray(dfa_states, jnp.int32),
+            self._dfa_table,
         )
         return np.asarray(tok)

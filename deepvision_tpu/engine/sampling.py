@@ -53,3 +53,28 @@ def sample_tokens(
     return jnp.where(
         temperature <= 0.0, greedy, sampled.astype(jnp.int32)
     )
+
+
+def sample_tokens_constrained(
+    logits: jax.Array,        # [B, V] fp32
+    rng: jax.Array,
+    temperature: jax.Array,   # [B]
+    top_k: jax.Array,         # [B]
+    top_p: jax.Array,         # [B]
+    dfa_states: jax.Array,    # [B] int32 — row into dfa_table (0 = FREE)
+    dfa_table: jax.Array,     # [S, V] — next state or -1 (forbidden)
+):
+    """Grammar-constrained sampling: logits of forbidden tokens are masked
+    before top-k/top-p, and the DFA state advances on-device so fused
+    multi-step decode (``lax.scan``) keeps masks exact per step.  Row 0 of
+    the table is the all-allowed FREE state, so unconstrained requests
+    share the same compiled program.  Returns ``(tokens [B], states [B])``.
+    """
+    rows = dfa_table[dfa_states]                       # [B, V]
+    allowed = rows >= 0
+    masked = jnp.where(allowed, logits, _NEG_INF)
+    tok = sample_tokens(masked, rng, temperature, top_k, top_p)
+    new_states = jnp.take_along_axis(
+        rows, tok[:, None].astype(jnp.int32), axis=-1
+    )[:, 0].astype(jnp.int32)
+    return tok, new_states

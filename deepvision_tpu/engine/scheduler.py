@@ -76,8 +76,10 @@ class GenerationRequest:
         deadline_s: Optional[float] = None,
         request_id: Optional[str] = None,
         prefix_key: Optional[str] = None,
+        json_mode: bool = False,
     ):
         self.prefix_key = prefix_key
+        self.json_mode = json_mode
         if request_id is None:
             with GenerationRequest._counter_lock:
                 GenerationRequest._counter += 1
@@ -131,7 +133,7 @@ class _PrefillJob:
 class _ActiveSeq:
     __slots__ = (
         "req", "slot", "tokens", "pages", "generated", "prefill_ms",
-        "queue_wait_ms", "decode_start",
+        "queue_wait_ms", "decode_start", "dfa_state",
     )
 
     def __init__(self, req, slot, tokens, pages, queue_wait_ms, prefill_ms):
@@ -143,6 +145,7 @@ class _ActiveSeq:
         self.queue_wait_ms = queue_wait_ms
         self.prefill_ms = prefill_ms
         self.decode_start = time.monotonic()
+        self.dfa_state = 0            # 0 = FREE (unconstrained)
 
 
 class ContinuousBatchingScheduler:
@@ -157,7 +160,11 @@ class ContinuousBatchingScheduler:
         strict_priority: bool = True,
         decode_steps_per_call: int = 1,
         interleave_min_tokens: int = 4096,
+        dfa=None,
     ):
+        # Grammar DFA (engine/constrained.JsonTokenDfa) for json_mode
+        # requests; None disables constrained decoding.
+        self.dfa = dfa
         # Prompts with fewer un-cached tokens than this prefill in one
         # blocking call: measured on v5e, interleaving only pays off once
         # prefill time rivals several decode windows (~4k+ tokens);
@@ -346,6 +353,7 @@ class ContinuousBatchingScheduler:
                     top_k=req.top_k,
                     top_p=req.top_p,
                     start_from=shared_n,
+                    dfa_state=self._start_state(req),
                 )
             except Exception as e:  # noqa: BLE001 — engine must not die
                 self.alloc.free(pages)
@@ -359,6 +367,11 @@ class ContinuousBatchingScheduler:
             admitted = True
         return admitted
 
+    def _start_state(self, req) -> int:
+        if req.json_mode and self.dfa is not None:
+            return self.dfa.start
+        return 0
+
     def _activate(self, req, pages, first_tok, queue_wait_ms,
                   prefill_ms) -> None:
         if self.prefix_cache is not None and req.prefix_key:
@@ -368,6 +381,9 @@ class ContinuousBatchingScheduler:
             req, slot, list(req.prompt_tokens) + [first_tok], pages,
             queue_wait_ms, prefill_ms,
         )
+        start = self._start_state(req)
+        if start != 0:
+            seq.dfa_state = self.dfa.next_state(start, first_tok)
         seq.generated.append(first_tok)
         self._active[slot] = seq
         if self._seq_finished(seq, first_tok):
@@ -407,7 +423,7 @@ class ContinuousBatchingScheduler:
                 job.last_tok = self.runner.prefill_chunk_step(
                     req.prompt_tokens, job.pages, job.pos,
                     temperature=req.temperature, top_k=req.top_k,
-                    top_p=req.top_p,
+                    top_p=req.top_p, dfa_state=self._start_state(req),
                 )
                 job.pos += self.runner.prefill_chunk_size
                 budget -= 1
@@ -442,6 +458,7 @@ class ContinuousBatchingScheduler:
         temps = np.zeros(B, np.float32)
         topk = np.zeros(B, np.int32)
         topp = np.ones(B, np.float32)
+        dstates = np.zeros(B, np.int32)
 
         retire_now: List[_ActiveSeq] = []
         for slot, seq in self._active.items():
@@ -469,6 +486,7 @@ class ContinuousBatchingScheduler:
             temps[slot] = seq.req.temperature
             topk[slot] = seq.req.top_k
             topp[slot] = seq.req.top_p
+            dstates[slot] = max(seq.dfa_state, 0)
         for seq in retire_now:
             self._retire(seq, "length")
         if not self._active:
@@ -479,7 +497,8 @@ class ContinuousBatchingScheduler:
         if self._prefilling:
             K = 1
         out = self.runner.decode(
-            tokens, lens, bt, temps, topk, topp, n_steps=K
+            tokens, lens, bt, temps, topk, topp, n_steps=K,
+            dfa_states=dstates,
         )  # [K, B]
         self.steps += K
 
@@ -493,6 +512,9 @@ class ContinuousBatchingScheduler:
                 seq.generated.append(tok)
                 self.tokens_generated += 1
                 last_tok = tok
+                if seq.dfa_state > 0 and self.dfa is not None:
+                    # host mirrors the on-device DFA walk (same table)
+                    seq.dfa_state = self.dfa.next_state(seq.dfa_state, tok)
                 if self._seq_finished(seq, tok) or seq.req.cancelled.is_set():
                     done = True
                     break

@@ -22,6 +22,7 @@ class ByteTokenizer:
     PAD = 258
 
     vocab_size = 259
+    special_ids = frozenset({256, 257, 258})
 
     def encode(self, text: str, add_bos: bool = True) -> List[int]:
         ids = list(text.encode("utf-8"))
@@ -56,8 +57,14 @@ class HFTokenizer:
 
         self._tok = Tokenizer.from_file(path)
         self.vocab_size = self._tok.get_vocab_size()
+        try:
+            self.special_ids = frozenset(
+                self._tok.get_added_tokens_decoder().keys())
+        except Exception:
+            self.special_ids = frozenset()
         eos = None
-        for cand in ("</s>", "<eos>", "<|endoftext|>", "<|eot_id|>"):
+        for cand in ("<|eot|>", "</s>", "<eos>", "<|endoftext|>",
+                     "<|eot_id|>"):
             tid = self._tok.token_to_id(cand)
             if tid is not None:
                 eos = tid

@@ -58,12 +58,15 @@ class Trainer:
         plan: Optional[ShardPlan] = None,
         learning_rate: float = 1e-4,
         seed: int = 0,
+        tx: Optional[optax.GradientTransformation] = None,
+        param_dtype=None,
     ):
         self.cfg = cfg
         self.mesh = mesh
         self.plan = plan
-        self.tx = optax.adamw(learning_rate)
-        params = init_params(cfg, seed)
+        self.tx = tx if tx is not None else optax.adamw(learning_rate)
+        params = (init_params(cfg, seed, dtype=param_dtype)
+                  if param_dtype is not None else init_params(cfg, seed))
         if mesh is not None:
             assert plan is not None
             params = shard_params(params, mesh, plan, cfg)
@@ -79,9 +82,15 @@ class Trainer:
         return jax.device_put(jnp.asarray(tokens), sharding)
 
     def train_step(self, tokens) -> float:
+        return float(self.train_step_async(tokens))
+
+    def train_step_async(self, tokens):
+        """Like train_step but returns the on-device loss without a host
+        sync — on the tunneled TPU a blocking readback costs ~28 ms/step,
+        so hot loops convert losses only at log points."""
         tokens = self.place_batch(tokens)
         self.params, self.opt_state, loss = self._step(
             self.params, self.opt_state, tokens
         )
         self.step_count += 1
-        return float(loss)
+        return loss

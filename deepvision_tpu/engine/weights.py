@@ -81,10 +81,62 @@ def load_checkpoint(path: str, template=None):
         return ckptr.restore(path)
 
 
+# ---------------------------------------------------------------------------
+# Flat .npz checkpoints — single-file, committable artifacts (bf16)
+# ---------------------------------------------------------------------------
+
+def save_npz(path: str, params) -> None:
+    import numpy as np
+
+    flat = {}
+    for keypath, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
+        name = "/".join(
+            getattr(k, "key", getattr(k, "idx", "?")) for k in keypath
+        )
+        arr = np.asarray(leaf)
+        if arr.dtype == jnp.bfloat16:
+            # npz has no bf16: store the raw uint16 bits + a dtype tag
+            flat[name + "@bf16"] = arr.view(np.uint16)
+        else:
+            flat[name] = arr
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    import io
+
+    buf = io.BytesIO()
+    np.savez(buf, **flat)
+    with open(path, "wb") as fh:
+        fh.write(buf.getvalue())
+
+
+def load_npz(path: str) -> dict:
+    import numpy as np
+
+    data = np.load(path)
+    params: dict = {}
+    for name in data.files:
+        arr = data[name]
+        key = name
+        if name.endswith("@bf16"):
+            key = name[: -len("@bf16")]
+            arr = arr.view(jnp.bfloat16)
+        node = params
+        parts = key.split("/")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = jnp.asarray(arr)
+    return params
+
+
 def load_or_init(
     cfg: ModelConfig, checkpoint_dir: Optional[str], seed: int = 0
 ):
-    """Engine boot path: restore a checkpoint if configured, else random."""
+    """Engine boot path: restore a checkpoint if configured, else random.
+
+    ``checkpoint_dir`` may be an orbax directory or a flat ``.npz`` file.
+    """
+    if checkpoint_dir and os.path.isfile(checkpoint_dir) and \
+            checkpoint_dir.endswith(".npz"):
+        return load_npz(checkpoint_dir)
     if checkpoint_dir and os.path.isdir(checkpoint_dir):
         template = jax.eval_shape(lambda: init_params(cfg, seed))
         return load_checkpoint(checkpoint_dir, template)
