@@ -121,14 +121,18 @@ _VALID_ESCAPES = frozenset(b'"\\/bfnrt')
 class _DfaBuilder:
     """Explicit-state construction over (stack, mode, lit-progress)."""
 
-    def __init__(self, max_depth: int = 6):
+    def __init__(self, max_depth: int = 6, root: str = "value"):
         self.max_depth = max_depth
+        self.root = root
         self.states: Dict[tuple, int] = {}
         self.trans: List[np.ndarray] = []  # per state: int32[N_CLS]
         # special ids assigned first for stable numbering
         self.FREE = self._state(("FREE",))
         self.ACCEPT = self._state(("ACCEPT",))
-        self.start = self._state(((), M_VAL, 0))
+        # root="object": the top-level value must be a JSON object — kills
+        # degenerate bare-literal outputs (` true`) for API call types
+        # whose consumers expect an object.
+        self.start = self._state(((), M_VAL, 2 if root == "object" else 0))
         self._build()
 
     def _state(self, key: tuple) -> int:
@@ -178,6 +182,9 @@ class _DfaBuilder:
 
             if mode == M_VAL:
                 go(CLS_WS, (stack, M_VAL, aux))
+                if aux == 2:  # object-root start: '{' (or ws) only
+                    go(CLS_LBRACE, (stack + ("O",), M_OBJ_FIRST, 0))
+                    continue
                 if len(stack) < self.max_depth:
                     go(CLS_LBRACE, (stack + ("O",), M_OBJ_FIRST, 0))
                     go(CLS_LBRACK, (stack + ("A",), M_VAL, 1))
@@ -344,7 +351,8 @@ class _DfaBuilder:
             if pos < len(lit) and b == lit[pos]:
                 return self.trans[sid][CLS_LIT]
             return -1
-        if key and key[0] not in ("FREE", "ACCEPT") and key[1] == M_VAL:
+        if key and key[0] not in ("FREE", "ACCEPT") and key[1] == M_VAL \
+                and key[2] != 2:
             cls = byte_class(b)
             if cls == CLS_LIT:
                 stack = key[0]
@@ -414,14 +422,14 @@ class JsonTokenDfa:
         self.FREE = 0
 
     @classmethod
-    def build(cls, tokenizer, *, max_depth: int = 6,
+    def build(cls, tokenizer, *, max_depth: int = 6, root: str = "value",
               cache_dir: Optional[str] = None) -> "JsonTokenDfa":
         vocab = tokenizer.vocab_size
         eos = tokenizer.eos_id
         cache_path = None
         if cache_dir:
             sig = hashlib.md5(
-                f"json-dfa-v2:{vocab}:{eos}:{max_depth}".encode()
+                f"json-dfa-v3:{vocab}:{eos}:{max_depth}:{root}".encode()
             ).hexdigest()[:12]
             cache_path = os.path.join(cache_dir, f"json_dfa_{sig}.npz")
             if os.path.isfile(cache_path):
@@ -429,7 +437,7 @@ class JsonTokenDfa:
                 return cls(data["table"], int(data["start"]),
                            int(data["accept"]))
 
-        builder = _DfaBuilder(max_depth)
+        builder = _DfaBuilder(max_depth, root=root)
         n_states = len(builder.trans)
 
         # byte sequences per token

@@ -8,11 +8,13 @@ are re-pointed at local engine settings instead of remote endpoints).
 # --- AI / engine (replaces ANTHROPIC_* remote gateway keys) ---------------
 ENABLE_AI = True
 AI_MODE = "template"            # template | engine | off
-QUESTION_MODEL_NAME = "dv-1b"
-REPORT_MODEL_NAME = "dv-1b"
-REPORT_DRAFT_MODEL_NAME = "dv-1b"
-REPORT_REVIEW_MODEL_NAME = "dv-1b"
-ENGINE_TOKENIZER = "byte"
+# dv-mini is the in-repo REAL checkpoint (trained on TPU by
+# scripts/train_dv_mini.py); "auto" tokenizer pairs it with its BPE vocab.
+QUESTION_MODEL_NAME = "dv-mini"
+REPORT_MODEL_NAME = "dv-mini"
+REPORT_DRAFT_MODEL_NAME = "dv-mini"
+REPORT_REVIEW_MODEL_NAME = "dv-mini"
+ENGINE_TOKENIZER = "auto"
 ENGINE_CHECKPOINT_DIR = ""
 ENGINE_MAX_SLOTS = 8
 ENGINE_NUM_PAGES = 1024

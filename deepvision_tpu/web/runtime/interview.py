@@ -135,6 +135,14 @@ def build_interview_prompt(
         parts.append(f"【联网检索结果】\n{search_context}")
     if is_follow_up:
         parts.append(f"请针对上一个回答进行追问。追问背景：{follow_up_context}")
+    if contract:
+        # contract rides BEFORE the schema spec so the prompt always ends
+        # with the output-format instruction (the strongest conditioning
+        # position for the local model; training examples end the same way)
+        parts.append(
+            f"采集要求：answer_mode={contract.get('answer_mode')}, "
+            f"evidence_intent={contract.get('evidence_intent')}"
+        )
     parts.append(
         "请生成下一个访谈问题，输出 JSON："
         '{"question": "问题文本(≤240字)", "options": ["选项1", ...2-6项], '
@@ -144,11 +152,6 @@ def build_interview_prompt(
         '"ai_recommendation": "推荐选项或null"}'
         % ("true" if is_follow_up else "false")
     )
-    if contract:
-        parts.append(
-            f"采集要求：answer_mode={contract.get('answer_mode')}, "
-            f"evidence_intent={contract.get('evidence_intent')}"
-        )
     prompt = "\n\n".join(parts)
     if prompt_budget and len(prompt) > prompt_budget:
         # Fast tier clamps the prompt to its budget (reference

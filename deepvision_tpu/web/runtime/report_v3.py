@@ -191,6 +191,16 @@ def apply_deterministic_repairs(draft: dict, q_ids: List[str]) -> dict:
     draft.setdefault("evidence_index", [
         {"q_id": q, "summary": ""} for q in q_ids[:10]
     ])
+    # deterministic repair: models may emit evidence_index as bare q_id
+    # strings ("Q1") — normalize every entry to the dict contract
+    # (reference deterministic repairs web/server.py:24675)
+    norm_ev = []
+    for e in draft.get("evidence_index") or []:
+        if isinstance(e, dict):
+            norm_ev.append(e)
+        elif isinstance(e, str):
+            norm_ev.append({"q_id": e, "summary": ""})
+    draft["evidence_index"] = norm_ev
     return draft
 
 
@@ -350,7 +360,10 @@ def render_report_markdown(draft: dict, pack: dict, quality: dict) -> str:
     if ev:
         out += ["", "## 附录：证据索引", ""]
         for e in ev:
-            out.append(f"- {e.get('q_id', '')}: {e.get('summary', '')}")
+            if isinstance(e, dict):
+                out.append(f"- {e.get('q_id', '')}: {e.get('summary', '')}")
+            else:
+                out.append(f"- {e}")
     return "\n".join(out)
 
 

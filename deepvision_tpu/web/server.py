@@ -207,12 +207,36 @@ class AppState:
             from deepvision_tpu.engine.engine import EngineConfig, LLMEngine
             from deepvision_tpu.engine.lanes import DEFAULT_LANES
 
+            # In-repo real artifacts (trained by scripts/train_dv_mini.py)
+            # are the zero-config default: dv-mini + its BPE tokenizer.
+            res = os.path.join(
+                os.path.dirname(os.path.dirname(
+                    os.path.dirname(os.path.abspath(__file__)))),
+                "resources",
+            )
+            bpe = os.path.join(res, "tokenizer", "dv_bpe_8k.json")
+            default_model = (
+                "dv-mini"
+                if os.path.isfile(os.path.join(res, "checkpoints",
+                                               "dv-mini.npz"))
+                else "dv-1b"
+            )
+
+            def default_ckpt(model_name: str) -> Optional[str]:
+                p = os.path.join(res, "checkpoints", f"{model_name}.npz")
+                return p if os.path.isfile(p) else None
+
             def engine_cfg(model_name: str) -> EngineConfig:
+                tok = cfg.get_str("ENGINE_TOKENIZER", "auto")
+                if tok in ("", "auto"):
+                    # the BPE vocab only pairs with models trained on it
+                    tok = (bpe if model_name == "dv-mini"
+                           and os.path.isfile(bpe) else "byte")
                 return EngineConfig(
                     model=model_name,
-                    tokenizer=cfg.get_str("ENGINE_TOKENIZER", "byte"),
+                    tokenizer=tok,
                     checkpoint_dir=cfg.get_str("ENGINE_CHECKPOINT_DIR")
-                    or None,
+                    or default_ckpt(model_name),
                     max_slots=cfg.get_int("ENGINE_MAX_SLOTS", 8),
                     num_pages=cfg.get_int("ENGINE_NUM_PAGES", 1024),
                     page_size=cfg.get_int("ENGINE_PAGE_SIZE", 64),
@@ -225,6 +249,9 @@ class AppState:
                         "ENGINE_CHUNKED_PREFILL", True),
                     prefill_chunk_size=cfg.get_int(
                         "ENGINE_PREFILL_CHUNK_SIZE", 256),
+                    warmup=cfg.get_bool(
+                        "ENGINE_WARMUP",
+                        os.environ.get("DEEPVISION_TPU_TESTING") != "1"),
                 )
 
             # One engine replica per DISTINCT configured model — question
@@ -233,21 +260,25 @@ class AppState:
             # models, web/.env.example:36-84; memory plan is the
             # deployer's job via ENGINE_NUM_PAGES).
             lane_models = {
-                "question": cfg.get_str("QUESTION_MODEL_NAME", "dv-1b"),
-                "question_fast": cfg.get_str("QUESTION_MODEL_NAME", "dv-1b"),
-                "question_deep": cfg.get_str("QUESTION_MODEL_NAME", "dv-1b"),
-                "report": cfg.get_str("REPORT_MODEL_NAME", "dv-1b"),
+                "question": cfg.get_str("QUESTION_MODEL_NAME", default_model),
+                "question_fast": cfg.get_str("QUESTION_MODEL_NAME", default_model),
+                "question_deep": cfg.get_str("QUESTION_MODEL_NAME", default_model),
+                "report": cfg.get_str("REPORT_MODEL_NAME", default_model),
                 "report_draft": cfg.get_str(
-                    "REPORT_DRAFT_MODEL_NAME", "dv-1b"),
+                    "REPORT_DRAFT_MODEL_NAME", default_model),
                 "report_review": cfg.get_str(
-                    "REPORT_REVIEW_MODEL_NAME", "dv-1b"),
-                "summary": cfg.get_str("QUESTION_MODEL_NAME", "dv-1b"),
+                    "REPORT_REVIEW_MODEL_NAME", default_model),
+                "summary": cfg.get_str("QUESTION_MODEL_NAME", default_model),
                 "search_decision": cfg.get_str(
-                    "QUESTION_MODEL_NAME", "dv-1b"),
-                "assessment": cfg.get_str("QUESTION_MODEL_NAME", "dv-1b"),
+                    "QUESTION_MODEL_NAME", default_model),
+                "assessment": cfg.get_str("QUESTION_MODEL_NAME", default_model),
             }
             for model_name in dict.fromkeys(lane_models.values()):
                 engines[model_name] = LLMEngine(engine_cfg(model_name))
+            for eng in engines.values():
+                # warm at boot so the first request never pays a cold
+                # compile (EngineConfig.warmup gates the actual work)
+                eng.start()
             lanes = {
                 name: profile.replace(engine=lane_models.get(
                     name, next(iter(engines))))
