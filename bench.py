@@ -1,22 +1,147 @@
 #!/usr/bin/env python
-"""Headline benchmark: p50 next-question TTFT through the TPU engine.
+"""Headline benchmark for the TPU serving stack.
 
-Drives the real serving stack (tokenizer -> gateway-style request ->
-continuous-batching scheduler -> Pallas prefill/decode on device) with a
-question-lane workload shaped like the reference's next-question path
-(~2.2k-char prompt budget, web/config.py:109; ~120-token completions).
+Three measured workloads against the REAL flagship checkpoint (dv-mini,
+trained on-TPU by scripts/train_dv_mini.py, BPE tokenizer, grammar-
+constrained JSON decoding — the exact production serving path):
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} plus extra
-diagnostic fields.  Baseline is the build target p50 TTFT = 1500 ms on a
-v5e chip (BASELINE.md build targets); vs_baseline > 1 means faster than
-target.
+1. question lane: 64 concurrent interview sessions x 2 questions each
+   (~2.2k-char prompts, ~120-token completions) -> TTFT p50/p95, req/min
+   (BASELINE.md build targets: 64 sessions, p50 < 1500 ms);
+2. report lane: 16 concurrent 1.5k-token draft generations ->
+   reports/min (target >= 20);
+3. doc ingest: pages/sec through the from-scratch docx converter.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} plus
+diagnostics.  vs_baseline = 1500 ms / p50 TTFT (>1 is faster than target).
 """
 
+import io
 import json
 import statistics
 import sys
 import threading
 import time
+import zipfile
+
+
+QUESTION_PROMPT = (
+    "你是一名资深需求访谈顾问，正在进行结构化访谈。\n\n"
+    "访谈主题：企业客户关系管理系统需求调研\n\n"
+    "当前维度：客户需求（关注要点：核心痛点、期望价值、使用场景）\n\n"
+    "历史问答：\n"
+    + "问：当前流程的主要痛点是什么？\n答：跨部门协作效率低，数据分散，"
+      "报表手工汇总耗时，管理层缺少实时视图。\n" * 10
+    + "\n请生成下一个访谈问题，输出 JSON："
+      '{"question": "问题文本(≤240字)", "options": ["选项1", ...2-6项], '
+      '"multi_select": bool, "is_follow_up": false, '
+      '"answer_mode": "pick_only|pick_with_reason", '
+      '"requires_rationale": bool, "evidence_intent": "low|medium|high", '
+      '"ai_recommendation": "推荐选项或null"}'
+)
+
+REPORT_PROMPT = (
+    "你是一名需求分析专家。请基于以下访谈证据，为主题「企业客户关系管理系统」"
+    "撰写结构化报告草稿，输出 JSON，键：overview, needs, analysis, "
+    "visualizations, solutions, risks, actions, open_questions, "
+    "evidence_index。\n访谈证据：\n"
+    + "\n".join(
+        f"[Q{i}] 问：关于维度{i}的现状与期望？ 答：存在流程断点，期望自动化，"
+        "预算与时间窗口受限。" for i in range(1, 9)
+    )
+)
+
+
+def _bench_questions(engine, n_sessions, n_threads, max_tokens):
+    ttfts, totals, errors = [], [], []
+    lock = threading.Lock()
+
+    def worker(i):
+        try:
+            for round_no in (1, 2):
+                t0 = time.time()
+                _, meta = engine.generate_text(
+                    QUESTION_PROMPT + f"\n会话:{i} 第{round_no}问。",
+                    max_tokens=max_tokens, temperature=0.7, top_k=40,
+                    timeout=600, prefix_key=f"bench-sess-{i}",
+                    json_mode=True,
+                )
+                with lock:
+                    ttfts.append(meta["queue_wait_ms"] + meta["prefill_ms"])
+                    totals.append((time.time() - t0) * 1e3)
+        except Exception as e:  # noqa: BLE001
+            with lock:
+                errors.append(f"{type(e).__name__}: {e}")
+
+    t0 = time.time()
+    threads = []
+    for i in range(n_sessions):
+        t = threading.Thread(target=worker, args=(i,))
+        t.start()
+        threads.append(t)
+        if len(threads) >= n_threads:
+            threads.pop(0).join()
+    for t in threads:
+        t.join()
+    wall = time.time() - t0
+    return ttfts, totals, errors, wall
+
+
+def _bench_reports(engine, n_reports, n_threads, max_tokens):
+    done, errors = [], []
+    lock = threading.Lock()
+
+    def worker(i):
+        try:
+            _, meta = engine.generate_text(
+                REPORT_PROMPT + f"\n(报告任务 {i})",
+                max_tokens=max_tokens, temperature=0.7, top_k=40,
+                timeout=900, json_mode=True,
+            )
+            with lock:
+                done.append(meta["completion_tokens"])
+        except Exception as e:  # noqa: BLE001
+            with lock:
+                errors.append(f"{type(e).__name__}: {e}")
+
+    t0 = time.time()
+    threads = []
+    for i in range(n_reports):
+        t = threading.Thread(target=worker, args=(i,))
+        t.start()
+        threads.append(t)
+        if len(threads) >= n_threads:
+            threads.pop(0).join()
+    for t in threads:
+        t.join()
+    wall = time.time() - t0
+    return done, errors, wall
+
+
+def _bench_ingest(n_pages=60):
+    """Pages/sec through the from-scratch OOXML docx parser (the doc-ingest
+    hot path before AI summarization; reference convert_doc.py:73-322)."""
+    from deepvision_tpu.web.runtime.documents import convert_to_markdown
+
+    para = (
+        "<w:p><w:r><w:t>需求调研参考资料：业务流程现状、系统痛点、预算与"
+        "时间约束的详细说明文档内容。</w:t></w:r></w:p>"
+    )
+    body = (para * 25 + '<w:p><w:r><w:br w:type="page"/></w:r></w:p>') * n_pages
+    doc_xml = (
+        '<?xml version="1.0"?><w:document xmlns:w="http://schemas.openxml'
+        'formats.org/wordprocessingml/2006/main"><w:body>'
+        + body + "</w:body></w:document>"
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("word/document.xml", doc_xml)
+    data = buf.getvalue()
+    t0 = time.time()
+    text = convert_to_markdown("bench.docx", data)
+    wall = time.time() - t0
+    assert len(text) > 1000
+    return n_pages / wall if wall > 0 else 0.0
 
 
 def main():
@@ -29,111 +154,64 @@ def main():
 
     if on_tpu:
         eng_cfg = EngineConfig(
-            model="dv-1b",
-            tokenizer="byte",
-            # 8 slots + K=8 is the measured sweet spot for p50 TTFT on one
-            # chip (16 slots trades ~50% worse p50 for +7% req/min — see
-            # PERF_NOTES.md).
-            max_slots=8,
-            num_pages=1024,
+            model="dv-mini",
+            tokenizer="resources/tokenizer/dv_bpe_8k.json",
+            checkpoint_dir="resources/checkpoints/dv-mini.npz",
+            max_slots=16,
+            num_pages=2048,
             page_size=64,
             max_pages_per_seq=32,
-            max_pending=128,
+            max_pending=256,
             prefills_per_step=2,
+            prefill_batch_max=4,
             decode_steps_per_call=8,
             chunked_prefill=True,
             prefill_chunk_size=256,
             interpret=False,
+            warmup=True,
         )
-        n_sessions, n_threads, max_tokens = 16, 8, 120
+        n_sessions, n_threads, q_tokens = 64, 32, 120
+        n_reports, r_threads, r_tokens = 16, 16, 1500
     else:  # CI / smoke fallback on CPU
         eng_cfg = EngineConfig(
-            model="dv-tiny-test",
-            tokenizer="byte",
-            max_slots=4,
-            num_pages=128,
-            page_size=16,
-            max_pages_per_seq=8,
+            model="dv-tiny-test", tokenizer="byte", max_slots=4,
+            num_pages=128, page_size=16, max_pages_per_seq=8,
             interpret=True,
         )
-        n_sessions, n_threads, max_tokens = 2, 2, 8
+        n_sessions, n_threads, q_tokens = 2, 2, 8
+        n_reports, r_threads, r_tokens = 2, 2, 8
 
-    engine = LLMEngine(eng_cfg)
-    engine.start()
-
-    prompt = (
-        "你是需求访谈助手。基于以下访谈场景与历史问答，生成下一个访谈问题，"
-        "输出 JSON，字段包括 question/options/answer_mode/evidence_intent。\n"
-        "场景：企业客户关系管理系统的需求调研。维度：客户需求。\n"
-        + "历史问答：" + ("问：当前流程的主要痛点？答：跨部门协作效率低，"
-        "数据分散，报表手工汇总耗时。" * 12)
-    )  # ~1.7k byte tokens — inside the 2048 context so the session's
-    # prompt head stays prefix-cacheable (left-truncation breaks alignment)
-
-    # Warm-up: compile the prefill bucket + decode step once.
     t0 = time.time()
-    engine.generate_text(prompt, max_tokens=4, temperature=0.0, timeout=600)
+    engine = LLMEngine(eng_cfg)
+    engine.start()  # warmup compiles happen here
     compile_s = time.time() - t0
 
-    ttfts, totals = [], []
-    lock = threading.Lock()
-    errors = []
+    ttfts, totals, q_errors, q_wall = _bench_questions(
+        engine, n_sessions, n_threads, q_tokens)
+    q_stats = engine.stats()
+    tokens_q = q_stats["tokens_generated"]
 
-    def worker(i):
-        """One interview session asking two consecutive questions — the
-        app's real shape: the first prefill is cold, the follow-up reuses
-        the session's KV prefix (reference sessions re-send a shared
-        prompt head every next-question call)."""
-        try:
-            for round_no in (1, 2):
-                t_submit = time.time()
-                _, meta = engine.generate_text(
-                    prompt + f"\n会话:{i} 第{round_no}个问题，请结合历史生成。",
-                    max_tokens=max_tokens,
-                    temperature=0.7,
-                    top_k=40,
-                    timeout=600,
-                    prefix_key=f"bench-sess-{i}",
-                )
-                with lock:
-                    ttfts.append(
-                        meta["queue_wait_ms"] + meta["prefill_ms"]
-                    )
-                    totals.append((time.time() - t_submit) * 1e3)
-        except Exception as e:  # noqa: BLE001
-            with lock:
-                errors.append(f"{type(e).__name__}: {e}")
+    drafts, r_errors, r_wall = _bench_reports(
+        engine, n_reports, r_threads, r_tokens)
+    r_stats = engine.stats()
+    tokens_r = r_stats["tokens_generated"] - tokens_q
 
-    t_bench = time.time()
-    threads = []
-    for i in range(n_sessions):
-        t = threading.Thread(target=worker, args=(i,))
-        t.start()
-        threads.append(t)
-        if len(threads) >= n_threads:
-            threads.pop(0).join()
-    for t in threads:
-        t.join()
-    wall_s = time.time() - t_bench
-
-    stats = engine.stats()
     engine.shutdown()
+
+    try:
+        pages_per_s = _bench_ingest()
+    except Exception:  # noqa: BLE001
+        pages_per_s = -1.0
 
     if not ttfts:
         print(json.dumps({
-            "metric": "next_question_ttft_p50",
-            "value": -1,
-            "unit": "ms",
-            "vs_baseline": 0.0,
-            "error": errors[:3],
+            "metric": "next_question_ttft_p50", "value": -1, "unit": "ms",
+            "vs_baseline": 0.0, "error": (q_errors + r_errors)[:3],
         }))
         return 1
 
     p50 = statistics.median(ttfts)
     p95 = sorted(ttfts)[int(0.95 * (len(ttfts) - 1))]
-    tok_s = stats["tokens_generated"] / wall_s if wall_s > 0 else 0.0
-    req_min = len(ttfts) / wall_s * 60.0
-
     print(json.dumps({
         "metric": "next_question_ttft_p50",
         "value": round(p50, 1),
@@ -141,14 +219,20 @@ def main():
         "vs_baseline": round(1500.0 / p50, 3) if p50 > 0 else 0.0,
         "backend": backend,
         "model": eng_cfg.model,
+        "concurrent_sessions": n_sessions,
         "ttft_p95_ms": round(p95, 1),
         "request_total_p50_ms": round(statistics.median(totals), 1),
-        "decode_tokens_per_s": round(tok_s, 1),
-        "requests_per_min": round(req_min, 1),
+        "question_decode_tokens_per_s": round(tokens_q / q_wall, 1),
+        "requests_per_min": round(len(ttfts) / q_wall * 60.0, 1),
+        "reports_per_min": round(len(drafts) / r_wall * 60.0, 2),
+        "report_draft_tokens_p50": (
+            statistics.median(drafts) if drafts else 0),
+        "report_decode_tokens_per_s": round(tokens_r / r_wall, 1),
+        "doc_ingest_pages_per_s": round(pages_per_s, 1),
         "n_requests": len(ttfts),
-        "errors": len(errors),
+        "errors": len(q_errors) + len(r_errors),
         "compile_s": round(compile_s, 1),
-        "prefix_cache": stats.get("prefix_cache"),
+        "prefix_cache": r_stats.get("prefix_cache"),
     }))
     return 0
 

@@ -38,6 +38,9 @@ class EngineConfig:
     tp: int = 1                      # tensor-parallel degree
     max_pending: int = 64
     prefills_per_step: int = 1
+    # fresh prompts admitted in one batched prefill dispatch (TTFT lever
+    # under burst; padded to powers of two per compile bucket)
+    prefill_batch_max: int = 4
     strict_priority: bool = False
     decode_steps_per_call: int = 1
     chunked_prefill: bool = False
@@ -55,7 +58,7 @@ class EngineConfig:
     # the tunneled TPU a cold model-step compile is 30s-5min, far beyond
     # the fast-tier budget.  Off by default for tests/CLI tools.
     warmup: bool = False
-    warmup_buckets: tuple = (128, 256, 512)
+    warmup_buckets: tuple = (128, 256, 512, 1024)
 
 
 def _enable_persistent_compile_cache() -> None:
@@ -145,6 +148,7 @@ class LLMEngine:
             strict_priority=cfg.strict_priority,
             decode_steps_per_call=cfg.decode_steps_per_call,
             dfa=self.json_dfa,
+            prefill_batch_max=cfg.prefill_batch_max,
         )
         self._started = False
         self._start_lock = threading.Lock()
@@ -175,7 +179,15 @@ class LLMEngine:
             if pages is None:
                 break
             try:
+                # chunked single-prompt path (prefix resumes use it) ...
                 runner.prefill([1] * n, pages)
+                # ... and the batched admission path at B=1 and B=max
+                runner.prefill_batch([[1] * n], [pages])
+                if self.cfg.prefill_batch_max > 1:
+                    runner.prefill_batch(
+                        [[1] * n] * self.cfg.prefill_batch_max,
+                        [pages] * self.cfg.prefill_batch_max,
+                    )
             finally:
                 alloc.free(pages)
         B = self.cfg.max_slots

@@ -253,6 +253,65 @@ class ModelRunner:
         )
         return int(tok[0])
 
+    def prefill_batch(
+        self,
+        prompts,                      # List[Sequence[int]]
+        pages_list,                   # List[Sequence[int]]
+        *,
+        temperatures=None,
+        top_ks=None,
+        top_ps=None,
+        dfa_states=None,
+    ):
+        """Prefill SEVERAL fresh prompts in one device dispatch (one
+        compiled program per (bucket, B)).  Under concurrent admission
+        this is the TTFT lever: N single-prompt prefills cost N dispatch
+        round-trips (~28 ms each on the tunneled chip) plus N underfilled
+        MXU launches; one batched prefill costs one of each.
+
+        Returns the list of first sampled token ids."""
+        n_real = len(prompts)
+        # pad B to a power of two so each bucket compiles O(log B) variants
+        # (padded rows write their KV into the trash page)
+        B = 1
+        while B < n_real:
+            B *= 2
+        bucket = pick_bucket(max(len(p) for p in prompts))
+        page = self.cache_cfg.page_size
+        n_chunks = bucket // page
+        toks = np.zeros((B, bucket), dtype=np.int32)
+        pages = np.zeros((B, n_chunks), dtype=np.int32)
+        seq_lens = np.ones(B, dtype=np.int32)
+        for i, (p, pg) in enumerate(zip(prompts, pages_list)):
+            toks[i, : len(p)] = np.asarray(p, dtype=np.int32)
+            used = min(len(pg), n_chunks)
+            pages[i, :used] = np.asarray(pg[:used], dtype=np.int32)
+            seq_lens[i] = len(p)
+
+        def fill(vals, default, dtype):
+            out = np.full(B, default, dtype)
+            if vals is not None:
+                out[:n_real] = np.asarray(vals, dtype)
+            return out
+
+        temps = fill(temperatures, 0.0, np.float32)
+        tks = fill(top_ks, 0, np.int32)
+        tps = fill(top_ps, 1.0, np.float32)
+        dst = fill(dfa_states, 0, np.int32)
+
+        key = (bucket, B)
+        fn = self._prefill_fns.get(key)
+        if fn is None:
+            fn = self._prefill_fns[key] = self._build_prefill(bucket)
+        tok, self.cache = fn(
+            self.params, self.cache, jnp.asarray(toks),
+            jnp.asarray(seq_lens), jnp.asarray(pages), self.next_rng(),
+            jnp.asarray(temps), jnp.asarray(tks), jnp.asarray(tps),
+            jnp.asarray(dst), self._dfa_table,
+        )
+        out = np.asarray(tok)
+        return [int(out[i]) for i in range(n_real)]
+
     def prefill_chunk_step(
         self,
         token_ids: Sequence[int],

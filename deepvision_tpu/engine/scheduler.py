@@ -161,7 +161,9 @@ class ContinuousBatchingScheduler:
         decode_steps_per_call: int = 1,
         interleave_min_tokens: int = 4096,
         dfa=None,
+        prefill_batch_max: int = 4,
     ):
+        self.prefill_batch_max = max(1, prefill_batch_max)
         # Grammar DFA (engine/constrained.JsonTokenDfa) for json_mode
         # requests; None disables constrained decoding.
         self.dfa = dfa
@@ -305,10 +307,21 @@ class ContinuousBatchingScheduler:
     # -- admission ------------------------------------------------------
 
     def _admit(self) -> bool:
+        """Admit waiting requests.
+
+        Fresh prompts batch into ONE device dispatch
+        (runner.prefill_batch): under burst arrival, N serialized prefills
+        cost N dispatch round-trips and N underfilled launches — batching
+        them is the main TTFT-tail lever at 32-64 concurrent sessions.
+        Prefix-cache resumes (start_from > 0) and long prompts keep their
+        chunked paths.
+        """
         admitted = False
-        for _ in range(self.prefills_per_step):
+        batch: List[tuple] = []  # (req, pages, queue_wait_ms)
+        max_batch = max(self.prefill_batch_max, self.prefills_per_step)
+        while len(batch) < max_batch:
             # count slots already promised to in-flight prefills
-            if len(self._free_slots) <= len(self._prefilling):
+            if len(self._free_slots) <= len(self._prefilling) + len(batch):
                 break
             req = self._pop_next()
             if req is None:
@@ -344,28 +357,52 @@ class ContinuousBatchingScheduler:
                 )
                 admitted = True
                 continue
-            t0 = time.monotonic()
-            try:
-                first = self.runner.prefill(
-                    req.prompt_tokens,
-                    pages,
-                    temperature=req.temperature,
-                    top_k=req.top_k,
-                    top_p=req.top_p,
-                    start_from=shared_n,
-                    dfa_state=self._start_state(req),
-                )
-            except Exception as e:  # noqa: BLE001 — engine must not die
-                self.alloc.free(pages)
-                req.finish(
-                    self._mk_result(req, [], "error", queue_wait_ms, 0, 0,
-                                    error=f"{type(e).__name__}: {e}")
-                )
+            if shared_n > 0 and getattr(self.runner, "chunked_prefill",
+                                        False):
+                # prefix resume: only the chunked path can start mid-prompt
+                t0 = time.monotonic()
+                try:
+                    first = self.runner.prefill(
+                        req.prompt_tokens, pages,
+                        temperature=req.temperature, top_k=req.top_k,
+                        top_p=req.top_p, start_from=shared_n,
+                        dfa_state=self._start_state(req),
+                    )
+                except Exception as e:  # noqa: BLE001
+                    self.alloc.free(pages)
+                    req.finish(self._mk_result(
+                        req, [], "error", queue_wait_ms, 0, 0,
+                        error=f"{type(e).__name__}: {e}"))
+                    continue
+                prefill_ms = (time.monotonic() - t0) * 1e3
+                self._activate(req, pages, first, queue_wait_ms, prefill_ms)
+                admitted = True
                 continue
-            prefill_ms = (time.monotonic() - t0) * 1e3
-            self._activate(req, pages, first, queue_wait_ms, prefill_ms)
-            admitted = True
-        return admitted
+            batch.append((req, pages, queue_wait_ms))
+
+        if not batch:
+            return admitted
+        t0 = time.monotonic()
+        try:
+            firsts = self.runner.prefill_batch(
+                [r.prompt_tokens for r, _, _ in batch],
+                [p for _, p, _ in batch],
+                temperatures=[r.temperature for r, _, _ in batch],
+                top_ks=[r.top_k for r, _, _ in batch],
+                top_ps=[r.top_p for r, _, _ in batch],
+                dfa_states=[self._start_state(r) for r, _, _ in batch],
+            )
+        except Exception as e:  # noqa: BLE001 — engine must not die
+            for req, pages, qw in batch:
+                self.alloc.free(pages)
+                req.finish(self._mk_result(
+                    req, [], "error", qw, 0, 0,
+                    error=f"{type(e).__name__}: {e}"))
+            return True
+        prefill_ms = (time.monotonic() - t0) * 1e3
+        for (req, pages, qw), first in zip(batch, firsts):
+            self._activate(req, pages, first, qw, prefill_ms)
+        return True
 
     def _start_state(self, req) -> int:
         if req.json_mode and self.dfa is not None:
