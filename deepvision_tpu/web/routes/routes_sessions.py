@@ -466,7 +466,7 @@ def register(app, state):
     # ------------------------------------------------------------------
 
     @app.route("/api/sessions/<session_id>/report-readiness",
-               methods=["POST"])
+               methods=["GET", "POST"])
     def readiness(req, session_id):
         user = require_user(state, req)
         session = _load_owned(state, session_id, user)

@@ -84,7 +84,7 @@ def build_solution_payload(
     if not overview and sections:
         overview = sections[0]["body"][:600]
 
-    needs, risks, actions = [], [], []
+    needs, risks, actions, solutions = [], [], [], []
     for s in sections:
         if "需求" in s["title"]:
             needs = _bullet_items(s["body"])
@@ -92,6 +92,8 @@ def build_solution_payload(
             risks = _bullet_items(s["body"])
         elif "行动" in s["title"] or "下一步" in s["title"]:
             actions = _bullet_items(s["body"])
+        elif "方案" in s["title"] or "建议" in s["title"]:
+            solutions = _bullet_items(s["body"])
 
     highlights = [n[:60] for n in needs[:3]] or [title]
     metrics = [
@@ -167,14 +169,16 @@ def build_solution_payload(
         "metrics": metrics,
         "decision_summary": decision_summary,
         "proposal_brief": {"overview": overview, "needs": needs[:8]},
-        "chapter_copy": {},
-        "proposal_page": {},
-        "proposal_support": {},
+        "chapter_copy": _derive_chapter_copy(
+            title, overview, needs, solutions, actions),
+        "proposal_page": _derive_proposal_page(title, overview, sections),
+        "proposal_support": _derive_proposal_support(markdown, needs),
         "decision_brief": decision_summary,
         "narrative_outline": [s["title"] for s in sections],
-        "page_copy": {},
-        "proposal_content_model": {},
-        "content_priority_plan": {},
+        "page_copy": _derive_page_copy(title, overview, actions),
+        "proposal_content_model": _derive_content_model(sections),
+        "content_priority_plan": _derive_priority_plan(
+            needs, risks, actions),
         "closing_block": {
             "title": "下一步",
             "items": actions[:5] or ["确认报告内容", "安排方案评审"],
@@ -182,12 +186,9 @@ def build_solution_payload(
         "summary_card": {"title": title, "summary": overview[:200]},
         "render_model": {"sections": render_sections},
         "render_model_legacy": None,
-        "audience_profile": {
-            "primary": "业务决策者",
-            "secondary": "实施团队",
-        },
-        "comparison_matrix": None,
-        "value_board": None,
+        "audience_profile": _derive_audience_profile(session, markdown),
+        "comparison_matrix": _derive_comparison_matrix(solutions, risks),
+        "value_board": _derive_value_board(needs, solutions),
         "quality_review": quality_meta or {},
         "nav_items": nav_items,
         "sections": render_sections,
@@ -199,6 +200,170 @@ def build_solution_payload(
         payload["hero"]["eyebrow"] = "解决方案（简版）"
         payload["headline_cards"] = headline_cards[:1]
     return payload
+
+
+# ---------------------------------------------------------------------------
+# Derived proposal content (reference web/server.py:38825-40509 audience
+# profile / decision brief / narrative, :42710-42945 schema-driven sections).
+# Deterministic derivations from the report snapshot; the AI chapter-copy
+# merge (merge_ai_copy) refines chapter_copy/quality_review on top.
+# ---------------------------------------------------------------------------
+
+def _first_sentence(text: str, limit: int = 120) -> str:
+    for sep in ("。", "；", "\n"):
+        idx = text.find(sep)
+        if 0 < idx < limit:
+            return text[: idx + (1 if sep != "\n" else 0)]
+    return text[:limit]
+
+
+def _derive_chapter_copy(title, overview, needs, solutions, actions) -> dict:
+    value = _first_sentence(overview) or f"{title}的结构化解决方案。"
+    if needs:
+        value += f" 核心诉求：{needs[0][:60]}。"
+    approach = (solutions[0][:140] if solutions
+                else "分阶段实施：先解决最影响一线效率的环节，再逐步扩展。")
+    commitment = ("；".join(a[:60] for a in actions[:2])
+                  if actions else "两周内完成方案评审并冻结一期范围。")
+    return {
+        "value_statement": value[:500],
+        "approach": approach[:500],
+        "commitment": commitment[:500],
+    }
+
+
+def _derive_proposal_page(title, overview, sections) -> dict:
+    chapters = [
+        {
+            "id": s["id"],
+            "title": s["title"],
+            "summary": _first_sentence(s["body"], 160),
+        }
+        for s in sections if s["level"] == 2
+    ][:8]
+    return {
+        "title": f"{title} · 方案建议",
+        "pitch": _first_sentence(overview, 160),
+        "chapters": chapters,
+    }
+
+
+def _derive_page_copy(title, overview, actions) -> dict:
+    return {
+        "hero_tagline": _first_sentence(overview, 80) or title,
+        "cta_label": "推进方案评审",
+        "closing_note": (actions[0][:80] if actions
+                         else "与业务方确认优先级后启动一期。"),
+    }
+
+
+def _derive_content_model(sections) -> dict:
+    chapters = []
+    for s in sections:
+        if s["level"] > 2:
+            continue
+        blocks = []
+        bullets = _bullet_items(s["body"])
+        if bullets:
+            blocks.append({"type": "bullets", "items": bullets[:8]})
+        prose = "\n".join(
+            ln for ln in s["body"].splitlines()
+            if ln.strip() and not re.match(r"^\s*(?:[-*]|\d+\.|\|)", ln)
+            and not ln.startswith("```")
+        ).strip()
+        if prose:
+            blocks.append({"type": "text", "content": prose[:600]})
+        if "```mermaid" in s["body"]:
+            blocks.append({"type": "diagram", "format": "mermaid"})
+        chapters.append({"id": s["id"], "title": s["title"],
+                         "blocks": blocks})
+    return {"version": SCHEMA_VERSION, "chapters": chapters}
+
+
+def _derive_priority_plan(needs, risks, actions) -> dict:
+    items = []
+    for i, n in enumerate(needs[:8]):
+        m = re.search(r"\b(P[0-3])\b", n)
+        pr = m.group(1) if m else ("P0" if i == 0 else "P1" if i < 3 else "P2")
+        items.append({"content": n[:160], "priority": pr,
+                      "kind": "need"})
+    for r in risks[:3]:
+        items.append({"content": r[:160], "priority": "P1", "kind": "risk"})
+    for a in actions[:3]:
+        items.append({"content": a[:160], "priority": "P0", "kind": "action"})
+    order = {"P0": 0, "P1": 1, "P2": 2, "P3": 3}
+    items.sort(key=lambda x: order.get(x["priority"], 9))
+    return {"strategy": "value_first", "items": items}
+
+
+def _derive_proposal_support(markdown: str, needs) -> dict:
+    q_ids = sorted(set(re.findall(r"\bQ\d{1,3}\b", markdown)),
+                   key=lambda q: int(q[1:]))
+    evidence = []
+    for i, n in enumerate(needs[:6]):
+        refs = re.findall(r"\bQ\d{1,3}\b", n) or (
+            [q_ids[i % len(q_ids)]] if q_ids else [])
+        evidence.append({"claim": re.sub(r"\bQ\d{1,3}\b", "", n)[:140].strip(),
+                         "refs": refs})
+    return {"evidence": evidence, "q_ids": q_ids}
+
+
+def _derive_audience_profile(session, markdown: str) -> dict:
+    mode = (session or {}).get("interview_mode", "standard")
+    tech = any(k in markdown for k in ("架构", "技术栈", "接口", "系统集成"))
+    return {
+        "primary": "业务决策者",
+        "secondary": "技术实施团队" if tech else "实施团队",
+        "reading_depth": {"quick": "速览", "deep": "深读"}.get(mode, "标准"),
+        "tone": "decision_oriented",
+    }
+
+
+def _derive_comparison_matrix(solutions, risks) -> Optional[dict]:
+    options = [{
+        "name": "维持现状",
+        "scores": {"实施难度": "低", "业务价值": "低",
+                   "风险敞口": "持续累积"},
+    }]
+    if solutions:
+        options.append({
+            "name": "推荐方案",
+            "summary": solutions[0][:120],
+            "scores": {"实施难度": "中", "业务价值": "高",
+                       "风险敞口": "可控" if risks else "低"},
+        })
+    if len(solutions) > 1:
+        options.append({
+            "name": "备选方案",
+            "summary": solutions[1][:120],
+            "scores": {"实施难度": "高", "业务价值": "中",
+                       "风险敞口": "中"},
+        })
+    return {"criteria": ["实施难度", "业务价值", "风险敞口"],
+            "options": options}
+
+
+_VALUE_BUCKETS = (
+    ("效率提升", ("效率", "自动", "时长", "周期", "手工", "提速")),
+    ("成本与风险", ("成本", "预算", "风险", "资损", "合规", "库存")),
+    ("体验与质量", ("体验", "质量", "稳定", "客户", "满意", "用户")),
+)
+
+
+def _derive_value_board(needs, solutions) -> Optional[dict]:
+    columns = [{"title": t, "items": []} for t, _ in _VALUE_BUCKETS]
+    pool = (needs or []) + (solutions or [])
+    for item in pool[:12]:
+        placed = False
+        for col, (_, kws) in zip(columns, _VALUE_BUCKETS):
+            if any(k in item for k in kws):
+                col["items"].append(item[:100])
+                placed = True
+                break
+        if not placed:
+            columns[0]["items"].append(item[:100])
+    columns = [c for c in columns if c["items"]]
+    return {"columns": columns} if columns else None
 
 
 def _bullet_items(body: str) -> List[str]:

@@ -34,6 +34,8 @@ PROFILES = {
             ROOT, "scripts", "agent_eval.py")]),
         ("guardrails", [sys.executable, os.path.join(
             ROOT, "scripts", "agent_static_guardrails.py")]),
+        ("browser-smoke", [sys.executable, os.path.join(
+            ROOT, "scripts", "agent_browser_smoke.py")]),
     ],
 }
 
