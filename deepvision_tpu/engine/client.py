@@ -111,6 +111,46 @@ class ModelGateway:
         self.metrics_hook = metrics_hook
         self.call_count = 0
         self._lock = threading.Lock()
+        # adaptive lane-order (reference promote-on-success-stats
+        # web/server.py:4049-4249): per-lane success counts + latency EWMA;
+        # after MIN_SAMPLES the candidate order prefers healthy-fast lanes.
+        self._lane_stats: Dict[str, dict] = {}
+        self.adaptive_lane_order = True
+        self.ADAPTIVE_MIN_SAMPLES = 6
+
+    def _record_lane_stat(self, lane: str, ok: bool, ms: float) -> None:
+        with self._lock:
+            s = self._lane_stats.setdefault(
+                lane, {"calls": 0, "failures": 0, "ewma_ms": None})
+            s["calls"] += 1
+            if not ok:
+                s["failures"] += 1
+            elif ms is not None:
+                prev = s["ewma_ms"]
+                s["ewma_ms"] = ms if prev is None else 0.8 * prev + 0.2 * ms
+
+    def _adaptive_order(self, candidates):
+        """Reorder fallback candidates by observed health: lanes with a
+        high recent failure rate demote below their fallback even before
+        the circuit opens; among healthy lanes, faster EWMA wins.  The
+        configured primary keeps a slight edge so ordering is sticky."""
+        if not self.adaptive_lane_order or len(candidates) < 2:
+            return candidates
+
+        def score(idx_lane):
+            idx, lane = idx_lane
+            s = self._lane_stats.get(lane)
+            if not s or s["calls"] < self.ADAPTIVE_MIN_SAMPLES:
+                return (0.0, idx)
+            fail_rate = s["failures"] / s["calls"]
+            ewma = s["ewma_ms"] or 0.0
+            return (fail_rate * 100 + ewma / 1000.0, idx)
+
+        return [l for _, l in sorted(enumerate(candidates), key=score)]
+
+    def lane_stats_snapshot(self) -> dict:
+        with self._lock:
+            return {k: dict(v) for k, v in self._lane_stats.items()}
 
     # ------------------------------------------------------------------
 
@@ -135,6 +175,7 @@ class ModelGateway:
             lane for lane in resolve_lanes(call_type, preferred_lane)
             if lane in self.lanes
         ]
+        candidates = self._adaptive_order(candidates)
         usable = [l for l in candidates if not self.breaker.in_cooldown(l)]
         if not usable:
             usable = candidates[:1]  # forced-open fallback (ref :15076)
@@ -166,10 +207,12 @@ class ModelGateway:
                     meta["prompt_shrunk"] = True
                 except Exception as e2:  # noqa: BLE001
                     self.breaker.record_failure(lane_name, "timeout")
+                    self._record_lane_stat(lane_name, False, None)
                     last_error = f"{type(e2).__name__}: {e2}"
                     continue
             except Exception as e:  # noqa: BLE001
                 self.breaker.record_failure(lane_name, "error")
+                self._record_lane_stat(lane_name, False, None)
                 last_error = f"{type(e).__name__}: {e}"
                 continue
 
@@ -179,10 +222,14 @@ class ModelGateway:
                 # Engine mode counts tokens: non-text tokens (specials) can
                 # decode to empty text without being a lane failure.
                 self.breaker.record_failure(lane_name, "empty")
+                self._record_lane_stat(lane_name, False, None)
                 last_error = "empty response"
                 continue
 
             self.breaker.record_success(lane_name)
+            self._record_lane_stat(
+                lane_name, True, meta.get("total_ms")
+                or (time.monotonic() - t_start) * 1e3)
             meta.update(
                 lane=lane_name,
                 call_type=call_type,

@@ -25,9 +25,11 @@ from deepvision_tpu.web.runtime.documents import (
 )
 from deepvision_tpu.web.runtime.followup import (
     build_capture_contract,
+    build_evidence_ledger,
     classify_evidence,
     dimension_saturation,
     evaluate_answer_depth,
+    next_probe_for_dimension,
     report_readiness,
     should_follow_up,
 )
@@ -286,6 +288,7 @@ def register(app, state):
             "quality_signals": depth,
             "answered_at": utc_now_iso(),
         }
+        entry["evidence_class"] = classify_evidence(entry)
         entry["follow_up_signals"] = {}
         entry["hard_triggered"] = False
 
@@ -470,7 +473,9 @@ def register(app, state):
     def readiness(req, session_id):
         user = require_user(state, req)
         session = _load_owned(state, session_id, user)
-        return report_readiness(session)
+        payload = report_readiness(session)
+        payload["evidence_ledger"] = build_evidence_ledger(session)
+        return payload
 
     @app.route("/api/sessions/<session_id>/generate-report",
                methods=["POST"])
@@ -581,13 +586,19 @@ def _generate_question(state, session, dimension, timer):
     timer.mark("search")
     state.set_thinking(session_id, active=True, stage="生成问题",
                        stage_index=2, message="AI 正在生成下一个问题")
+    # preflight planner: steer the next question at the biggest evidence
+    # hole in this dimension (reference probe planner web/server.py:19738)
+    probe = next_probe_for_dimension(session, dimension["id"])
     result, meta = state.question_gen.generate(
         session, dimension,
         is_follow_up=is_follow_up,
         follow_up_context=(pending or {}).get("context", ""),
         capture_contract=contract,
         search_context=search_context,
+        focus_aspect=(probe or {}).get("aspect", ""),
     )
+    if probe:
+        meta["preflight_probe"] = probe
     timer.mark("ai_call")
     state.set_thinking(session_id, active=False, stage="完成",
                        stage_index=4)
@@ -711,16 +722,53 @@ def _schedule_summary_update(state, session_id: str) -> None:
 
 def _ingest_image(state, f) -> dict:
     """Images go to the vision path (reference describe_image_with_vision
-    :26523).  Without a vision model the description degrades to metadata."""
+    web/server.py:26523).  With a vision-capable lane configured
+    (VISION_DESCRIBE_ENABLED) the description comes from the model;
+    otherwise it degrades to a structured caption — metadata, orientation
+    class, EXIF hints — under an explicit degraded-caption contract so the
+    doc still contributes signal to interview prompts."""
+    desc = None
+    meta_parts = []
     try:
         from PIL import Image
         import io as _io
 
         img = Image.open(_io.BytesIO(f.content))
-        desc = (f"图片文件 {f.filename}：尺寸 {img.width}x{img.height}，"
-                f"格式 {img.format}。")
+        ratio = img.width / max(img.height, 1)
+        shape = ("宽幅横图（可能为截图/流程图）" if ratio > 1.6
+                 else "纵向长图（可能为文档照片/长截图）" if ratio < 0.625
+                 else "常规比例图片")
+        meta_parts.append(
+            f"尺寸 {img.width}x{img.height}，格式 {img.format}，{shape}")
+        try:
+            exif = img.getexif()
+            for tag in (270, 306, 272):  # description / datetime / model
+                v = exif.get(tag)
+                if v:
+                    meta_parts.append(str(v)[:80])
+        except Exception:
+            pass
     except Exception:
-        desc = f"图片文件 {f.filename}（无法解析）。"
+        meta_parts.append("无法解析图片头")
+
+    if state.resolver.get_bool("VISION_DESCRIBE_ENABLED", False):
+        try:
+            import base64
+
+            desc = state.gateway.call_model(
+                "请描述这张图片的内容要点（需求访谈参考资料场景）。\n"
+                f"[image/{f.filename};base64:"
+                f"{base64.b64encode(f.content[:64]).decode()}...]",
+                call_type="vision",
+                context={"filename": f.filename},
+            )
+        except Exception:
+            desc = None  # fall through to the degraded caption contract
+    if not desc:
+        desc = (
+            f"图片资料 {f.filename}：{'；'.join(meta_parts)}。"
+            "（视觉模型未启用，此为降级描述；访谈时可请用户口述图片要点。）"
+        )
     return {
         "name": f.filename,
         "content": desc,
@@ -728,4 +776,6 @@ def _ingest_image(state, f) -> dict:
         "summary": None,
         "char_count": len(desc),
         "kind": "image",
+        "vision_mode": "model" if state.resolver.get_bool(
+            "VISION_DESCRIBE_ENABLED", False) else "degraded_caption",
     }

@@ -258,3 +258,124 @@ def report_readiness(session: dict) -> dict:
         "blockers": blockers,
         "total_answers": len(log),
     }
+
+
+# ---------------------------------------------------------------------------
+# Evidence ledger (reference session evidence ledger web/server.py:19481)
+# ---------------------------------------------------------------------------
+
+def build_evidence_ledger(session: dict) -> dict:
+    """Per-dimension evidence accounting: class counts, aspect coverage,
+    and an overall strength grade the preflight planner and report
+    pipeline consume."""
+    scenario = session.get("scenario_config") or {}
+    dims = {d["id"]: d for d in scenario.get("dimensions", [])}
+    ledger: dict = {"dimensions": {}, "totals": {
+        "explicit": 0, "rich_option": 0, "weak_inferred": 0,
+        "pending_follow_up": 0,
+    }}
+    for dim_id, dim in dims.items():
+        entries = dimension_entries(session, dim_id)
+        classes = {"explicit": 0, "rich_option": 0, "weak_inferred": 0,
+                   "pending_follow_up": 0}
+        text_blob = ""
+        for e in entries:
+            cls = e.get("evidence_class") or classify_evidence(e)
+            classes[cls] = classes.get(cls, 0) + 1
+            ledger["totals"][cls] = ledger["totals"].get(cls, 0) + 1
+            text_blob += (e.get("question") or "") + (e.get("answer") or "")
+        aspects = dim.get("key_aspects") or []
+        covered = [a for a in aspects if a in text_blob]
+        strong = classes["explicit"] + classes["rich_option"]
+        grade = ("strong" if strong >= 2 and not classes["pending_follow_up"]
+                 else "adequate" if strong >= 1
+                 else "weak" if entries else "empty")
+        ledger["dimensions"][dim_id] = {
+            "classes": classes,
+            "entries": len(entries),
+            "aspects_total": len(aspects),
+            "aspects_covered": covered,
+            "aspects_missing": [a for a in aspects if a not in covered],
+            "grade": grade,
+        }
+    graded = [d["grade"] for d in ledger["dimensions"].values()]
+    ledger["overall"] = (
+        "strong" if graded and all(g == "strong" for g in graded)
+        else "weak" if any(g in ("weak", "empty") for g in graded)
+        else "adequate"
+    )
+    return ledger
+
+
+# ---------------------------------------------------------------------------
+# Preflight planner (reference mid-interview probe planner :19738)
+# ---------------------------------------------------------------------------
+
+def plan_preflight_probes(session: dict, *, max_probes: int = 5) -> List[dict]:
+    """Plan targeted probes from ledger gaps: uncovered key aspects and
+    weak/pending dimensions, ranked so the question engine can steer the
+    next questions at the biggest evidence holes."""
+    ledger = build_evidence_ledger(session)
+    probes: List[dict] = []
+    for dim_id, d in ledger["dimensions"].items():
+        if d["grade"] == "empty":
+            for aspect in d["aspects_missing"][:2] or [""]:
+                probes.append({
+                    "dimension": dim_id, "aspect": aspect,
+                    "reason": "dimension_unvisited", "priority": 0,
+                })
+        elif d["classes"]["pending_follow_up"]:
+            probes.append({
+                "dimension": dim_id, "aspect": "",
+                "reason": "pending_follow_up", "priority": 1,
+            })
+        elif d["grade"] == "weak":
+            aspect = d["aspects_missing"][0] if d["aspects_missing"] else ""
+            probes.append({
+                "dimension": dim_id, "aspect": aspect,
+                "reason": "weak_evidence", "priority": 2,
+            })
+        elif d["aspects_missing"]:
+            probes.append({
+                "dimension": dim_id, "aspect": d["aspects_missing"][0],
+                "reason": "aspect_uncovered", "priority": 3,
+            })
+    probes.sort(key=lambda p: p["priority"])
+    return probes[:max_probes]
+
+
+def next_probe_for_dimension(session: dict, dimension_id: str):
+    for probe in plan_preflight_probes(session):
+        if probe["dimension"] == dimension_id and probe["aspect"]:
+            return probe
+    return None
+
+
+# ---------------------------------------------------------------------------
+# Legacy backfill (reference legacy-log backfill :20903)
+# ---------------------------------------------------------------------------
+
+def backfill_evidence_annotations(session: dict) -> int:
+    """Fill missing evidence annotations on legacy interview-log entries
+    (quality_score / evidence_class / answer_mode defaults).  Returns the
+    number of entries updated; mutates the session in place."""
+    updated = 0
+    for e in session.get("interview_log", []):
+        changed = False
+        if e.get("quality_score") is None:
+            e["quality_score"] = evaluate_answer_depth(
+                e.get("answer", ""), e.get("rationale_text", ""))["score"]
+            changed = True
+        if not e.get("evidence_class"):
+            e["evidence_class"] = classify_evidence(e)
+            changed = True
+        if not e.get("answer_mode"):
+            e["answer_mode"] = "pick_with_reason" if e.get(
+                "rationale_text") else "pick_only"
+            changed = True
+        if not e.get("evidence_intent"):
+            e["evidence_intent"] = "medium"
+            changed = True
+        if changed:
+            updated += 1
+    return updated

@@ -105,6 +105,7 @@ def build_interview_prompt(
     capture_contract: Optional[dict] = None,
     fast_tier: bool = False,
     prompt_budget: int = 0,
+    focus_aspect: str = "",
 ) -> str:
     topic = session.get("topic", "")
     desc = session.get("description", "")
@@ -135,6 +136,9 @@ def build_interview_prompt(
         parts.append(f"【联网检索结果】\n{search_context}")
     if is_follow_up:
         parts.append(f"请针对上一个回答进行追问。追问背景：{follow_up_context}")
+    if focus_aspect:
+        # preflight planner steering: aim at the uncovered aspect
+        parts.append(f"本轮请优先覆盖尚未谈到的要点：{focus_aspect}")
     if contract:
         # contract rides BEFORE the schema spec so the prompt always ends
         # with the output-format instruction (the strongest conditioning
@@ -288,16 +292,36 @@ class TieredQuestionGenerator:
         # adaptive fast-path gate (reference hit-rate gate :29388-29517)
         self._fast_attempts = 0
         self._fast_successes = 0
+        # percentile-based deadline (reference adaptive hedge trigger
+        # _resolve_question_hedge_trigger_delay interview_runtime.py:
+        # 1049-1283 — there it delays a duplicate request; with a local
+        # scheduler the same signal tightens the fast-tier deadline so a
+        # struggling engine fails over to the full tier sooner)
+        self._fast_latencies: List[float] = []
 
     def fast_path_enabled(self) -> bool:
         if self._fast_attempts < 8:
             return True
         return (self._fast_successes / self._fast_attempts) >= 0.4
 
+    def effective_fast_timeout(self) -> float:
+        """p90 of recent successful fast-tier latencies x 1.5, clamped to
+        [2s, configured] — adaptive percentile-based deadline."""
+        lats = self._fast_latencies[-50:]
+        if len(lats) < 8:
+            return self.fast_timeout
+        p90 = sorted(lats)[int(0.9 * (len(lats) - 1))]
+        return max(2.0, min(self.fast_timeout, p90 * 1.5))
+
+    def _record_fast_latency(self, seconds: float) -> None:
+        self._fast_latencies.append(seconds)
+        if len(self._fast_latencies) > 200:
+            del self._fast_latencies[:100]
+
     def generate(
         self, session: dict, dimension: dict, *, is_follow_up: bool = False,
         follow_up_context: str = "", capture_contract: Optional[dict] = None,
-        search_context: str = "",
+        search_context: str = "", focus_aspect: str = "",
     ) -> Tuple[dict, dict]:
         """Returns (normalized_question, meta)."""
         context = {
@@ -322,11 +346,15 @@ class TieredQuestionGenerator:
                 capture_contract=capture_contract, fast_tier=True,
                 prompt_budget=self.fast_prompt_budget,
                 search_context=search_context,
+                focus_aspect=focus_aspect,
             )
             try:
+                import time as _time
+
+                t0 = _time.monotonic()
                 text, call_meta = self.gateway.call_model(
                     prompt, call_type="question_fast",
-                    timeout=self.fast_timeout,
+                    timeout=self.effective_fast_timeout(),
                     max_tokens=self.fast_max_tokens,
                     context=context, return_meta=True,
                 )
@@ -337,6 +365,7 @@ class TieredQuestionGenerator:
                     )
                     if is_question_acceptable(result):
                         self._fast_successes += 1
+                        self._record_fast_latency(_time.monotonic() - t0)
                         meta.update(
                             tier_used="fast",
                             selected_lane=call_meta.get("lane"),
@@ -353,6 +382,7 @@ class TieredQuestionGenerator:
             follow_up_context=follow_up_context,
             capture_contract=capture_contract,
             search_context=search_context,
+            focus_aspect=focus_aspect,
         )
         call_type = "question_deep" if is_follow_up else "question"
         try:

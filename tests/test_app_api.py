@@ -438,3 +438,71 @@ def test_custom_scenario_generate_and_use(client):
     if r.status_code == 200:
         scenario = r.get_json()["scenario"]
         assert scenario["dimensions"]
+
+
+def test_image_upload_degraded_caption(client):
+    """Images are accepted and contribute a structured degraded caption to
+    the session docs (reference describe_image_with_vision
+    web/server.py:26523; VERDICT r2 item #9)."""
+    import io
+
+    from PIL import Image
+
+    login(client)
+    sid = make_session(client)["session_id"]
+    buf = io.BytesIO()
+    Image.new("RGB", (1920, 600), (40, 90, 200)).save(buf, format="PNG")
+    r = client.open(f"/api/sessions/{sid}/documents", method="POST",
+                    files={"file": ("flow.png", buf.getvalue(), "image/png")})
+    assert r.status_code == 200, r.text
+    doc = r.get_json()["document"]
+    assert doc["kind"] == "image"
+    assert doc["vision_mode"] == "degraded_caption"
+    assert "1920x600" in doc["content"]
+    assert "宽幅" in doc["content"]
+    # the doc must reach the interview prompt context
+    sess = client.get(f"/api/sessions/{sid}").get_json()
+    assert any(d.get("kind") == "image"
+               for d in sess["reference_materials"])
+    from deepvision_tpu.web.runtime.interview import build_doc_context
+    ctx = build_doc_context(sess["reference_materials"])
+    assert "flow.png" in ctx
+
+
+def test_evidence_ledger_and_preflight(client):
+    """Evidence ledger + preflight probes + legacy backfill
+    (reference web/server.py:19481, 19738, 20903)."""
+    from deepvision_tpu.web.runtime.followup import (
+        backfill_evidence_annotations,
+        build_evidence_ledger,
+        plan_preflight_probes,
+    )
+
+    login(client)
+    sid = make_session(client)["session_id"]
+    q = client.post(f"/api/sessions/{sid}/next-question",
+                    json_body={}).get_json()
+    client.post(f"/api/sessions/{sid}/submit-answer", json_body={
+        "question": q["question"], "answer": "具体来说我们有三个系统，因为数据分散",
+        "dimension": q.get("dimension"), "rationale_text": "例如报表手工汇总",
+    })
+    sess = client.get(f"/api/sessions/{sid}").get_json()
+    # entries carry evidence_class annotations at submit time
+    assert sess["interview_log"][0].get("evidence_class")
+    ledger = build_evidence_ledger(sess)
+    assert ledger["overall"] in ("weak", "adequate", "strong")
+    assert ledger["dimensions"]  # per-dimension accounting
+    probes = plan_preflight_probes(sess)
+    assert probes and probes[0]["reason"] in (
+        "dimension_unvisited", "weak_evidence", "aspect_uncovered",
+        "pending_follow_up")
+    # readiness payload exposes the ledger
+    r = client.get(f"/api/sessions/{sid}/report-readiness")
+    assert "evidence_ledger" in r.get_json()
+    # legacy backfill: strip annotations, re-derive
+    for e in sess["interview_log"]:
+        e.pop("quality_score", None)
+        e.pop("evidence_class", None)
+    n = backfill_evidence_annotations(sess)
+    assert n == len(sess["interview_log"])
+    assert all(e.get("evidence_class") for e in sess["interview_log"])

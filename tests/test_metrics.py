@@ -54,3 +54,43 @@ def test_stage_timer():
     t.mark("b")
     assert set(t.stages) == {"a", "b"}
     assert all(v >= 0 for v in t.stages.values())
+
+
+# ---------------------------------------------------------------------------
+# Adaptive strategies (reference web/server.py:4049-4249 lane promotion;
+# interview_runtime.py:1049-1283 percentile deadline)
+# ---------------------------------------------------------------------------
+
+def test_adaptive_lane_order_demotes_failing_lane():
+    from deepvision_tpu.engine.client import ModelGateway
+
+    gw = ModelGateway(mode="template")
+    for _ in range(8):
+        gw._record_lane_stat("question", False, None)
+        gw._record_lane_stat("question_deep", True, 300.0)
+    order = gw._adaptive_order(["question", "question_deep"])
+    assert order == ["question_deep", "question"]
+
+
+def test_adaptive_lane_order_sticky_below_min_samples():
+    from deepvision_tpu.engine.client import ModelGateway
+
+    gw = ModelGateway(mode="template")
+    gw._record_lane_stat("question", False, None)  # 1 sample only
+    assert gw._adaptive_order(["question", "question_deep"]) == [
+        "question", "question_deep"]
+
+
+def test_effective_fast_timeout_percentile():
+    from deepvision_tpu.web.runtime.interview import TieredQuestionGenerator
+
+    gen = TieredQuestionGenerator(gateway=None, fast_timeout=8.0)
+    assert gen.effective_fast_timeout() == 8.0  # too few samples
+    for _ in range(20):
+        gen._record_fast_latency(0.5)
+    # p90=0.5 -> 0.75s, clamped up to the 2s floor
+    assert gen.effective_fast_timeout() == 2.0
+    for _ in range(40):
+        gen._record_fast_latency(4.0)
+    t = gen.effective_fast_timeout()
+    assert 5.9 <= t <= 8.0
