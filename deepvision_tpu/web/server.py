@@ -445,9 +445,11 @@ def create_app(data_dir: Optional[str] = None,
     def api_status_report(req, session_id):
         return state.report_queue.status_payload(session_id)
 
-    # --- metrics (reference :44901-44946) -------------------------------
+    # --- metrics (reference :44901-44946; admin-gated like the
+    # reference's @require_admin) ----------------------------------------
     @app.route("/api/metrics")
     def api_metrics(req):
+        require_admin(state, req)
         last_n = None
         if req.args.get("last_n"):
             try:
@@ -506,6 +508,7 @@ def create_app(data_dir: Optional[str] = None,
     # --- summaries (reference :44948-45010) -----------------------------
     @app.route("/api/summaries")
     def api_summaries(req):
+        require_admin(state, req)
         return {
             **state.docs.summaries_stats(),
             "enabled": True,

@@ -314,7 +314,7 @@ def test_solution_share_requires_level(client):
 
 
 def test_metrics_endpoint(client):
-    login(client)
+    login(client, "13800000001")  # /api/metrics is admin-gated (ref parity)
     data = client.get("/api/metrics").get_json()
     assert "ai_calls" in data and "report_generation_queue" in data
     # A.6 payload parity (reference web/server.py:44901-44923)
@@ -326,7 +326,7 @@ def test_metrics_endpoint(client):
 
 
 def test_metrics_question_generation_stats(client):
-    login(client)
+    login(client, "13800000001")
     sid = make_session(client)["session_id"]
     r = client.post(f"/api/sessions/{sid}/next-question", json_body={})
     assert r.status_code == 200
@@ -334,10 +334,8 @@ def test_metrics_question_generation_stats(client):
     qg = data["question_generation"]
     assert qg["count"] >= 1
     assert sum(m["count"] for m in qg["by_mode"].values()) >= 1
-    # reset clears aggregates (admin only)
-    admin = client._app.test_client()
-    login(admin, "13800000001")
-    assert admin.post("/api/metrics/reset", json_body={}).status_code == 200
+    # reset clears aggregates (admin only; this login is the admin phone)
+    assert client.post("/api/metrics/reset", json_body={}).status_code == 200
     data = client.get("/api/metrics").get_json()
     assert data["question_generation"]["count"] == 0
 
