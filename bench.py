@@ -157,8 +157,8 @@ def main():
             model="dv-mini",
             tokenizer="resources/tokenizer/dv_bpe_8k.json",
             checkpoint_dir="resources/checkpoints/dv-mini.npz",
-            max_slots=16,
-            num_pages=2048,
+            max_slots=32,
+            num_pages=3072,
             page_size=64,
             max_pages_per_seq=32,
             max_pending=256,

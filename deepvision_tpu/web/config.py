@@ -16,7 +16,7 @@ REPORT_DRAFT_MODEL_NAME = "dv-mini"
 REPORT_REVIEW_MODEL_NAME = "dv-mini"
 ENGINE_TOKENIZER = "auto"
 ENGINE_CHECKPOINT_DIR = ""
-ENGINE_MAX_SLOTS = 8
+ENGINE_MAX_SLOTS = 32  # dv-mini KV is small; 32 slots halves queue waits
 ENGINE_NUM_PAGES = 1024
 ENGINE_PAGE_SIZE = 64
 ENGINE_MAX_PAGES_PER_SEQ = 32
