@@ -1,8 +1,27 @@
 #!/usr/bin/env python
 """Local -> cloud data import (reference
-scripts/import_external_local_data_to_cloud.py): copy another deployment's
-session files + reports into this instance's stores, re-stamping owner and
-instance scope, with a rollback manifest."""
+scripts/import_external_local_data_to_cloud.py, 1,752 LoC).
+
+Copies another deployment's data dir into this instance's stores with the
+reference's operational guarantees:
+
+  * owner + instance-scope re-stamping on every record;
+  * conflict policy per colliding id: --on-conflict skip|overwrite|suffix
+    (suffix re-ids the incoming record and rewrites its report bindings);
+  * session validation (structure, interview-log shape) with a reject
+    list rather than a crash;
+  * evidence-annotation backfill on imported sessions (legacy logs get
+    quality_score/evidence_class derived);
+  * session<->report binding restore (current_report_name pointers are
+    remapped when reports are re-suffixed);
+  * custom scenarios + summary cache import (optional);
+  * rollback manifest under data/operations/ consumed by
+    scripts/rollback_external_import.py.
+
+  python scripts/import_external_local_data_to_cloud.py SRC_DIR \
+      --owner 7 [--scope default] [--on-conflict skip] [--dry-run]
+      [--limit N] [--include-scenarios] [--include-summaries]
+"""
 
 from __future__ import annotations
 
@@ -15,7 +34,26 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from deepvision_tpu.web.meta_index import MetaIndex, utc_now_iso  # noqa: E402
+from deepvision_tpu.web.runtime.followup import (  # noqa: E402
+    backfill_evidence_annotations,
+)
 from deepvision_tpu.web.stores import ReportStore, SessionStore  # noqa: E402
+
+
+def validate_session(session: dict) -> list:
+    problems = []
+    if not isinstance(session, dict):
+        return ["not an object"]
+    if not session.get("topic"):
+        problems.append("missing topic")
+    log = session.get("interview_log")
+    if log is not None and not isinstance(log, list):
+        problems.append("interview_log not a list")
+    for i, e in enumerate(log or []):
+        if not isinstance(e, dict) or not e.get("question"):
+            problems.append(f"interview_log[{i}] malformed")
+            break
+    return problems
 
 
 def main():
@@ -26,6 +64,12 @@ def main():
     p.add_argument("--owner", required=True,
                    help="owner_user_id to stamp on imported records")
     p.add_argument("--scope", default="default")
+    p.add_argument("--on-conflict", choices=("skip", "overwrite", "suffix"),
+                   default="skip")
+    p.add_argument("--limit", type=int, default=0,
+                   help="max sessions to import (0 = all)")
+    p.add_argument("--include-scenarios", action="store_true")
+    p.add_argument("--include-summaries", action="store_true")
     p.add_argument("--dry-run", action="store_true")
     args = p.parse_args()
 
@@ -33,31 +77,18 @@ def main():
     sessions = SessionStore(args.data_dir, meta)
     reports = ReportStore(args.data_dir, meta)
 
-    manifest = {"sessions": [], "reports": [], "created_at": utc_now_iso(),
-                "source": os.path.abspath(args.source_dir)}
+    suffix = f"-imp{int(time.time()) % 100000}"
+    manifest = {
+        "sessions": [], "reports": [], "scenarios": [],
+        "rejected": [], "conflicts": [],
+        "created_at": utc_now_iso(),
+        "source": os.path.abspath(args.source_dir),
+        "owner": str(args.owner), "scope": args.scope,
+        "on_conflict": args.on_conflict,
+    }
+    report_renames: dict = {}
 
-    src_sessions = os.path.join(args.source_dir, "sessions")
-    if os.path.isdir(src_sessions):
-        for name in sorted(os.listdir(src_sessions)):
-            if not name.endswith(".json"):
-                continue
-            path = os.path.join(src_sessions, name)
-            try:
-                with open(path, encoding="utf-8") as fh:
-                    session = json.load(fh)
-            except (OSError, json.JSONDecodeError) as e:
-                print(f"skip {name}: {e}", file=sys.stderr)
-                continue
-            sid = session.get("session_id") or name[:-5]
-            session["session_id"] = sid
-            session["owner_user_id"] = str(args.owner)
-            session["instance_scope"] = args.scope
-            if args.dry_run:
-                print(f"[dry-run] session {sid}")
-            else:
-                sessions.save(session)
-            manifest["sessions"].append(sid)
-
+    # ---- reports first (so session pointers can remap) -----------------
     src_reports = os.path.join(args.source_dir, "reports")
     if os.path.isdir(src_reports):
         for name in sorted(os.listdir(src_reports)):
@@ -68,27 +99,141 @@ def main():
                           encoding="utf-8") as fh:
                     content = fh.read()
             except OSError as e:
-                print(f"skip {name}: {e}", file=sys.stderr)
+                manifest["rejected"].append({"report": name, "why": str(e)})
                 continue
+            target = name
+            exists = reports.load(name) is not None
+            if exists:
+                manifest["conflicts"].append({"report": name})
+                if args.on_conflict == "skip":
+                    continue
+                if args.on_conflict == "suffix":
+                    target = name[:-3] + suffix + ".md"
+                    report_renames[name] = target
             if args.dry_run:
-                print(f"[dry-run] report {name}")
+                print(f"[dry-run] report {name}"
+                      + (f" -> {target}" if target != name else ""))
             else:
-                reports.save(
-                    name, content, owner_user_id=str(args.owner),
-                    instance_scope=args.scope,
-                )
-            manifest["reports"].append(name)
+                reports.save(target, content, owner_user_id=str(args.owner),
+                             instance_scope=args.scope)
+            manifest["reports"].append(target)
 
+    # ---- sessions -------------------------------------------------------
+    src_sessions = os.path.join(args.source_dir, "sessions")
+    n_imported = 0
+    if os.path.isdir(src_sessions):
+        for name in sorted(os.listdir(src_sessions)):
+            if not name.endswith(".json"):
+                continue
+            if args.limit and n_imported >= args.limit:
+                break
+            path = os.path.join(src_sessions, name)
+            try:
+                with open(path, encoding="utf-8") as fh:
+                    session = json.load(fh)
+            except (OSError, json.JSONDecodeError) as e:
+                manifest["rejected"].append({"session": name, "why": str(e)})
+                continue
+            problems = validate_session(session)
+            if problems:
+                manifest["rejected"].append(
+                    {"session": name, "why": "; ".join(problems)})
+                continue
+            sid = session.get("session_id") or name[:-5]
+            exists = sessions.load(sid) is not None
+            if exists:
+                manifest["conflicts"].append({"session": sid})
+                if args.on_conflict == "skip":
+                    continue
+                if args.on_conflict == "suffix":
+                    sid = sid + suffix
+            session["session_id"] = sid
+            session["owner_user_id"] = str(args.owner)
+            session["instance_scope"] = args.scope
+            # remap report bindings if the report was re-suffixed
+            for key in ("current_report_name", "last_report_name"):
+                if session.get(key) in report_renames:
+                    session[key] = report_renames[session[key]]
+            filled = backfill_evidence_annotations(session)
+            if args.dry_run:
+                print(f"[dry-run] session {sid} "
+                      f"(backfilled {filled} entries)")
+            else:
+                sessions.save(session)
+            manifest["sessions"].append(sid)
+            n_imported += 1
+
+    # ---- custom scenarios ------------------------------------------------
+    if args.include_scenarios:
+        src_meta = os.path.join(args.source_dir, "meta_index.sqlite3")
+        src_dir = os.path.join(args.source_dir, "custom_scenarios")
+        payloads = []
+        if os.path.isdir(src_dir):
+            for fn in sorted(os.listdir(src_dir)):
+                if fn.endswith(".json"):
+                    try:
+                        with open(os.path.join(src_dir, fn),
+                                  encoding="utf-8") as fh:
+                            payloads.append(json.load(fh))
+                    except (OSError, json.JSONDecodeError):
+                        pass
+        elif os.path.isfile(src_meta):
+            src = MetaIndex(src_meta)
+            for row in src.query("SELECT payload FROM custom_scenarios"):
+                try:
+                    payloads.append(json.loads(row["payload"]))
+                except ValueError:
+                    pass
+        for sc in payloads:
+            if not args.dry_run:
+                meta.execute(
+                    "INSERT INTO custom_scenarios (scenario_id, "
+                    "owner_user_id, instance_scope, payload, created_at) "
+                    "VALUES (?, ?, ?, ?, ?) ON CONFLICT(scenario_id) "
+                    "DO NOTHING",
+                    (sc.get("id"), str(args.owner), args.scope,
+                     json.dumps(sc, ensure_ascii=False), utc_now_iso()),
+                )
+            manifest["scenarios"].append(sc.get("id"))
+
+    # ---- summary cache ----------------------------------------------------
+    if args.include_summaries:
+        src_meta = os.path.join(args.source_dir, "meta_index.sqlite3")
+        if os.path.isfile(src_meta):
+            src = MetaIndex(src_meta)
+            n = 0
+            for row in src.query(
+                "SELECT content_hash, summary, doc_name, created_at "
+                "FROM summary_cache_store"
+            ):
+                if not args.dry_run:
+                    meta.execute(
+                        "INSERT INTO summary_cache_store (content_hash, "
+                        "summary, doc_name, created_at) VALUES (?, ?, ?, ?) "
+                        "ON CONFLICT(content_hash) DO NOTHING",
+                        (row["content_hash"], row["summary"],
+                         row["doc_name"], row["created_at"]),
+                    )
+                n += 1
+            print(f"summary cache entries considered: {n}")
+
+    # ---- manifest ---------------------------------------------------------
     ops_dir = os.path.join(args.data_dir, "operations")
     os.makedirs(ops_dir, exist_ok=True)
-    manifest_path = os.path.join(
-        ops_dir, f"import-{int(time.time())}.json")
+    manifest_path = os.path.join(ops_dir, f"import-{int(time.time())}.json")
     if not args.dry_run:
         with open(manifest_path, "w", encoding="utf-8") as fh:
             json.dump(manifest, fh, ensure_ascii=False, indent=1)
-    print(f"imported {len(manifest['sessions'])} sessions, "
-          f"{len(manifest['reports'])} reports"
+
+    mode = "[dry-run] " if args.dry_run else ""
+    print(f"{mode}imported {len(manifest['sessions'])} sessions, "
+          f"{len(manifest['reports'])} reports, "
+          f"{len(manifest['scenarios'])} scenarios; "
+          f"{len(manifest['conflicts'])} conflicts "
+          f"({args.on_conflict}), {len(manifest['rejected'])} rejected"
           + ("" if args.dry_run else f"; manifest: {manifest_path}"))
+    for rej in manifest["rejected"][:10]:
+        print(f"  rejected: {rej}")
     return 0
 
 

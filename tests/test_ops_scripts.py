@@ -1,0 +1,200 @@
+"""Ops/migration CLI coverage (reference tests/test_scripts_comprehensive.py):
+import -> rollback cycle with conflict policies and safety guards,
+object-storage sync, observe local mode, evidence backfill CLI."""
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+
+import pytest
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_script(name, *argv, env_extra=None):
+    env = dict(os.environ)
+    env["PYTHONPATH"] = ROOT + os.pathsep + env.get("PYTHONPATH", "")
+    env.update(env_extra or {})
+    return subprocess.run(
+        [sys.executable, os.path.join(ROOT, "scripts", name), *argv],
+        capture_output=True, text=True, env=env, cwd=ROOT,
+    )
+
+
+@pytest.fixture()
+def dirs():
+    src = tempfile.TemporaryDirectory()
+    dst = tempfile.TemporaryDirectory()
+    # a source deployment with one session + one report
+    os.makedirs(os.path.join(src.name, "sessions"))
+    os.makedirs(os.path.join(src.name, "reports"))
+    session = {
+        "session_id": "dv-20260101000000-aaaa1111",
+        "topic": "迁移测试访谈",
+        "status": "completed",
+        "interview_log": [
+            {"question": "现状如何？", "answer": "流程割裂，因为系统多",
+             "dimension": "d1"},
+        ],
+        "dimensions": {}, "reference_materials": [],
+        "current_report_name": "迁移-r1.md",
+    }
+    with open(os.path.join(src.name, "sessions",
+                           "dv-20260101000000-aaaa1111.json"), "w",
+              encoding="utf-8") as fh:
+        json.dump(session, fh, ensure_ascii=False)
+    with open(os.path.join(src.name, "reports", "迁移-r1.md"), "w",
+              encoding="utf-8") as fh:
+        fh.write("# 迁移报告\n\n内容")
+    # one malformed session to exercise the reject list
+    with open(os.path.join(src.name, "sessions", "bad.json"), "w") as fh:
+        fh.write("{not json")
+    yield src.name, dst.name
+    src.cleanup()
+    dst.cleanup()
+
+
+def _manifest_path(data_dir):
+    ops = os.path.join(data_dir, "operations")
+    names = [n for n in os.listdir(ops) if n.startswith("import-")]
+    assert names, os.listdir(ops)
+    return os.path.join(ops, sorted(names)[-1])
+
+
+def test_import_then_rollback_cycle(dirs):
+    src, dst = dirs
+    r = run_script("import_external_local_data_to_cloud.py", src,
+                   "--data-dir", dst, "--owner", "7")
+    assert r.returncode == 0, r.stderr
+    assert "imported 1 sessions, 1 reports" in r.stdout
+    assert "1 rejected" in r.stdout  # bad.json
+
+    # imported session got evidence backfill + restamped ownership
+    from deepvision_tpu.web.meta_index import MetaIndex
+    from deepvision_tpu.web.stores import SessionStore
+
+    meta = MetaIndex(os.path.join(dst, "meta_index.sqlite3"))
+    sess = SessionStore(dst, meta).load("dv-20260101000000-aaaa1111")
+    assert sess["owner_user_id"] == "7"
+    assert sess["interview_log"][0].get("evidence_class")
+
+    # rollback removes both and archives content
+    manifest = _manifest_path(dst)
+    r = run_script("rollback_external_import.py", manifest,
+                   "--data-dir", dst)
+    assert r.returncode == 0, r.stderr + r.stdout
+    assert "rolled back 1 sessions, 1 reports" in r.stdout
+    assert SessionStore(dst, meta).load(
+        "dv-20260101000000-aaaa1111") is None
+    # double rollback is a no-op
+    r = run_script("rollback_external_import.py", manifest,
+                   "--data-dir", dst)
+    assert "already rolled back" in r.stdout
+
+
+def test_import_conflict_policies(dirs):
+    src, dst = dirs
+    run_script("import_external_local_data_to_cloud.py", src,
+               "--data-dir", dst, "--owner", "7")
+    # second import: skip (default)
+    r = run_script("import_external_local_data_to_cloud.py", src,
+                   "--data-dir", dst, "--owner", "7")
+    assert "imported 0 sessions" in r.stdout
+    assert "2 conflicts" in r.stdout
+    # suffix policy re-ids and remaps the session's report binding
+    r = run_script("import_external_local_data_to_cloud.py", src,
+                   "--data-dir", dst, "--owner", "8",
+                   "--on-conflict", "suffix")
+    assert "imported 1 sessions, 1 reports" in r.stdout
+    from deepvision_tpu.web.meta_index import MetaIndex
+    from deepvision_tpu.web.stores import SessionStore
+
+    meta = MetaIndex(os.path.join(dst, "meta_index.sqlite3"))
+    rows = meta.query("SELECT session_id FROM session_index")
+    sids = {r["session_id"] for r in rows}
+    suffixed = [s for s in sids if s != "dv-20260101000000-aaaa1111"]
+    assert suffixed
+    sess = SessionStore(dst, meta).load(suffixed[0])
+    assert sess["current_report_name"] != "迁移-r1.md"  # remapped
+
+
+def test_rollback_refuses_modified_records(dirs):
+    src, dst = dirs
+    run_script("import_external_local_data_to_cloud.py", src,
+               "--data-dir", dst, "--owner", "7")
+    # touch the imported session (simulate continued interview)
+    from deepvision_tpu.web.meta_index import MetaIndex
+    from deepvision_tpu.web.stores import SessionStore
+
+    meta = MetaIndex(os.path.join(dst, "meta_index.sqlite3"))
+    store = SessionStore(dst, meta)
+    sess = store.load("dv-20260101000000-aaaa1111")
+    sess["summary"] = "后续修改"
+    import time as _t
+    _t.sleep(1.1)  # ensure updated_at advances past manifest timestamp
+    store.save(sess)
+
+    r = run_script("rollback_external_import.py", _manifest_path(dst),
+                   "--data-dir", dst)
+    assert r.returncode == 1
+    assert "modified after import" in r.stdout
+    assert store.load("dv-20260101000000-aaaa1111") is not None
+    # --force removes it (fresh store: the old one holds a payload cache)
+    r = run_script("rollback_external_import.py", _manifest_path(dst),
+                   "--data-dir", dst, "--force")
+    assert r.returncode == 0
+    fresh = SessionStore(dst, MetaIndex(
+        os.path.join(dst, "meta_index.sqlite3")))
+    assert fresh.load("dv-20260101000000-aaaa1111") is None
+
+
+def test_sync_object_storage_kinds(dirs):
+    src, dst = dirs
+    run_script("import_external_local_data_to_cloud.py", src,
+               "--data-dir", dst, "--owner", "7")
+    r = run_script("sync_object_storage_history.py", "--data-dir", dst,
+                   "--kinds", "reports,operations", "--verify",
+                   env_extra={"DEEPVISION_TPU_TESTING": "1"})
+    assert r.returncode == 0, r.stderr
+    assert "failed=0" in r.stdout
+    # objects landed in the local FS backend
+    obj_root = os.path.join(dst, "object_storage")
+    found = []
+    for base, _, files in os.walk(obj_root):
+        found.extend(files)
+    assert found
+
+
+def test_observe_local_mode(dirs):
+    src, dst = dirs
+    run_script("import_external_local_data_to_cloud.py", src,
+               "--data-dir", dst, "--owner", "7")
+    r = run_script("agent_observe.py", "--local", "--data-dir", dst,
+                   "--json")
+    assert r.returncode == 0, r.stderr
+    data = json.loads(r.stdout)
+    assert data["sessions"]["n"] == 1
+    assert data["reports"]["n"] == 1
+    assert data["recent_sessions"]
+
+
+def test_backfill_cli(dirs):
+    src, dst = dirs
+    run_script("import_external_local_data_to_cloud.py", src,
+               "--data-dir", dst, "--owner", "7")
+    # strip annotations then backfill via the CLI
+    from deepvision_tpu.web.meta_index import MetaIndex
+    from deepvision_tpu.web.stores import SessionStore
+
+    meta = MetaIndex(os.path.join(dst, "meta_index.sqlite3"))
+    store = SessionStore(dst, meta)
+    sess = store.load("dv-20260101000000-aaaa1111")
+    for e in sess["interview_log"]:
+        e.pop("evidence_class", None)
+        e.pop("quality_score", None)
+    store.save(sess)
+    r = run_script("backfill_evidence_annotations.py", "--data-dir", dst)
+    assert r.returncode == 0, r.stderr
+    assert "1 entries across 1 sessions" in r.stdout
