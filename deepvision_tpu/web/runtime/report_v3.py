@@ -142,64 +142,215 @@ def repair_json_text(text: str) -> str:
 # Draft validation + deterministic repairs (reference :22980, :24675)
 # ---------------------------------------------------------------------------
 
-def validate_report_draft(draft: dict, q_ids: List[str]) -> List[dict]:
+_MERMAID_TYPES = (
+    "flowchart", "graph", "sequenceDiagram", "quadrantChart", "pie",
+    "gantt", "classDiagram", "stateDiagram", "erDiagram", "mindmap",
+)
+
+VALID_PRIORITIES = ("P0", "P1", "P2", "P3")
+_PRIORITY_ALIASES = {
+    "高": "P0", "最高": "P0", "high": "P0", "critical": "P0",
+    "中": "P1", "medium": "P1", "较高": "P1",
+    "低": "P2", "low": "P2", "一般": "P2",
+}
+
+
+def _mermaid_ok(block: str) -> bool:
+    head = (block or "").strip().split("\n", 1)[0].strip()
+    if not any(head.startswith(t) for t in _MERMAID_TYPES):
+        return False
+    return (block.count("[") >= block.count("]") - 1
+            and block.count("(") >= block.count(")") - 1)
+
+
+def validate_report_draft(draft: dict, q_ids: List[str],
+                          facts: Optional[List[dict]] = None) -> List[dict]:
+    """Draft validation at reference depth (validate_report_draft_v3
+    web/server.py:22980-23048): required sections, shape checks, overview
+    bounds, priority vocabulary, duplicate needs, mermaid sanity, invalid
+    refs, and high-evidence coverage."""
     issues = []
+
+    def issue(type_, severity, message, target):
+        issues.append({"type": type_, "severity": severity,
+                       "message": message, "target": target})
+
     for key in DRAFT_REQUIRED_KEYS:
         if not draft.get(key):
-            issues.append({"type": "missing_section", "severity": "error",
-                           "message": f"缺少必需章节 {key}", "target": key})
+            issue("missing_section", "error", f"缺少必需章节 {key}", key)
+
+    overview = draft.get("overview")
+    if isinstance(overview, str) and overview:
+        if len(overview) < 30:
+            issue("overview_too_short", "warning",
+                  f"概述仅 {len(overview)} 字，缺少信息量", "overview")
+        elif len(overview) > 2000:
+            issue("overview_too_long", "warning",
+                  "概述超过 2000 字，应下沉到分析章节", "overview")
+    elif overview is not None and not isinstance(overview, str):
+        issue("wrong_type", "error", "overview 必须是字符串", "overview")
+
     analysis = draft.get("analysis") or {}
+    if not isinstance(analysis, dict):
+        issue("wrong_type", "error", "analysis 必须是对象", "analysis")
+        analysis = {}
     for key in ANALYSIS_KEYS:
-        if not analysis.get(key):
-            issues.append({"type": "missing_analysis", "severity": "warning",
-                           "message": f"分析缺少 {key}", "target": key})
+        val = analysis.get(key)
+        if not val:
+            issue("missing_analysis", "warning", f"分析缺少 {key}", key)
+        elif isinstance(val, str) and len(val) < 10:
+            issue("analysis_thin", "warning",
+                  f"分析 {key} 过于简略（{len(val)} 字）", key)
+
     valid_ids = set(q_ids)
+    seen_titles = set()
     for section in ("needs", "solutions", "risks", "actions",
                     "open_questions"):
-        for i, item in enumerate(draft.get(section) or []):
-            refs = item.get("refs") if isinstance(item, dict) else None
-            if refs:
-                bad = [r for r in refs if r not in valid_ids]
-                if bad:
-                    issues.append({
-                        "type": "invalid_ref", "severity": "warning",
-                        "message": f"{section}[{i}] 引用了不存在的证据 {bad}",
-                        "target": f"{section}[{i}]",
-                    })
+        items = draft.get(section)
+        if items is not None and not isinstance(items, list):
+            issue("wrong_type", "error", f"{section} 必须是列表", section)
+            continue
+        for i, item in enumerate(items or []):
+            if isinstance(item, dict):
+                refs = item.get("refs")
+                if refs:
+                    bad = [r for r in refs if r not in valid_ids]
+                    if bad:
+                        issue("invalid_ref", "warning",
+                              f"{section}[{i}] 引用了不存在的证据 {bad}",
+                              f"{section}[{i}]")
+                if section == "needs":
+                    title = (item.get("title") or "").strip()
+                    if title and title in seen_titles:
+                        issue("duplicate_need", "warning",
+                              f"需求标题重复：{title}", f"needs[{i}]")
+                    seen_titles.add(title)
+                    pr = item.get("priority")
+                    if pr and pr not in VALID_PRIORITIES and \
+                            pr not in _PRIORITY_ALIASES:
+                        issue("invalid_priority", "warning",
+                              f"优先级 {pr!r} 不在 P0-P3", f"needs[{i}]")
+                    if not title and not item.get("description"):
+                        issue("empty_item", "warning",
+                              f"needs[{i}] 缺少标题与描述", f"needs[{i}]")
+
+    for key, block in (draft.get("visualizations") or {}).items():
+        if block and isinstance(block, str) and not _mermaid_ok(block):
+            issue("bad_mermaid", "warning",
+                  f"可视化 {key} 不是有效的 mermaid 图", key)
+
+    # high-evidence coverage: every explicit-class fact should be cited
+    # somewhere (reference evidence-pack cross-check :23024-23048)
+    if facts:
+        cited = set()
+        for section in ("needs", "solutions", "risks", "actions"):
+            for item in draft.get(section) or []:
+                if isinstance(item, dict):
+                    cited.update(item.get("refs") or [])
+        strong_uncited = [
+            f["q_id"] for f in facts
+            if f.get("evidence_class") == "explicit"
+            and f["q_id"] not in cited
+        ]
+        if strong_uncited and len(strong_uncited) > len(facts) * 0.5:
+            issue("evidence_underused", "warning",
+                  f"高价值证据未被引用：{strong_uncited[:5]}", "refs")
     return issues
 
 
-def apply_deterministic_repairs(draft: dict, q_ids: List[str]) -> dict:
-    """Fix what rules can fix: drop invalid refs, backfill empty sections."""
+def apply_deterministic_repairs(draft: dict, q_ids: List[str],
+                                facts: Optional[List[dict]] = None) -> dict:
+    """Reference-depth deterministic repairs (web/server.py:24675):
+    everything rules can fix without another model call — type coercion,
+    ref pruning, priority normalization, title dedupe, field truncation,
+    broken-mermaid removal, evidence_index normalization + summary
+    backfill from the facts."""
     valid_ids = set(q_ids)
+    fact_by_id = {f["q_id"]: f for f in (facts or [])}
+
+    if not isinstance(draft.get("overview"), str):
+        draft["overview"] = str(draft.get("overview") or "")
+    draft["overview"] = draft["overview"][:2400]
+
+    seen_titles = set()
     for section in ("needs", "solutions", "risks", "actions",
                     "open_questions"):
         items = draft.get(section)
         if not isinstance(items, list):
             draft[section] = []
             continue
+        repaired = []
         for item in items:
-            if isinstance(item, dict) and item.get("refs"):
+            if isinstance(item, str):
+                # coerce bare strings to the dict contract
+                item = ({"question": item[:300]}
+                        if section == "open_questions"
+                        else {"title": item[:120], "description": ""})
+            if not isinstance(item, dict):
+                continue
+            if item.get("refs"):
                 item["refs"] = [r for r in item["refs"] if r in valid_ids]
+            for field in ("title", "description"):
+                if field in item and not isinstance(item[field], str):
+                    item[field] = str(item[field])
+                if isinstance(item.get(field), str):
+                    item[field] = item[field][:600]
+            if section == "needs":
+                pr = item.get("priority")
+                if pr in _PRIORITY_ALIASES:
+                    item["priority"] = _PRIORITY_ALIASES[pr]
+                elif pr and pr not in VALID_PRIORITIES:
+                    item["priority"] = "P1"
+                title = (item.get("title") or "").strip()
+                if title and title in seen_titles:
+                    continue  # dedupe repeated needs
+                seen_titles.add(title)
+            if section == "risks" and item.get("severity") not in (
+                None, "low", "medium", "high"
+            ):
+                item["severity"] = "medium"
+            repaired.append(item)
+        draft[section] = repaired
+
     analysis = draft.get("analysis")
     if not isinstance(analysis, dict):
         draft["analysis"] = {k: "" for k in ANALYSIS_KEYS}
     else:
         for k in ANALYSIS_KEYS:
-            analysis.setdefault(k, "")
-    draft.setdefault("visualizations", {})
+            val = analysis.get(k)
+            if val is None or not isinstance(val, str):
+                analysis[k] = str(val) if val else ""
+
+    vis = draft.get("visualizations")
+    if not isinstance(vis, dict):
+        draft["visualizations"] = {}
+    else:
+        for key in list(vis.keys()):
+            block = vis[key]
+            if block and (not isinstance(block, str)
+                          or not _mermaid_ok(block)):
+                # a broken diagram renders worse than no diagram
+                vis.pop(key)
+
     draft.setdefault("evidence_index", [
         {"q_id": q, "summary": ""} for q in q_ids[:10]
     ])
-    # deterministic repair: models may emit evidence_index as bare q_id
-    # strings ("Q1") — normalize every entry to the dict contract
-    # (reference deterministic repairs web/server.py:24675)
+    # normalize bare q_id strings; backfill summaries from the facts
     norm_ev = []
+    seen_q = set()
     for e in draft.get("evidence_index") or []:
-        if isinstance(e, dict):
-            norm_ev.append(e)
-        elif isinstance(e, str):
-            norm_ev.append({"q_id": e, "summary": ""})
+        if isinstance(e, str):
+            e = {"q_id": e, "summary": ""}
+        if not isinstance(e, dict):
+            continue
+        qid = e.get("q_id")
+        if qid in seen_q:
+            continue
+        seen_q.add(qid)
+        if not e.get("summary") and qid in fact_by_id:
+            f = fact_by_id[qid]
+            e["summary"] = (f.get("answer") or f.get("question") or "")[:80]
+        norm_ev.append(e)
     draft["evidence_index"] = norm_ev
     return draft
 
@@ -208,7 +359,11 @@ def apply_deterministic_repairs(draft: dict, q_ids: List[str]) -> dict:
 # Quality gate (reference :25086-25312)
 # ---------------------------------------------------------------------------
 
-def quality_gate(draft: dict, issues: List[dict], profile: str) -> dict:
+def quality_gate(draft: dict, issues: List[dict], profile: str,
+                 *, review_rounds_run: int = 0) -> dict:
+    """Profile-adaptive quality gate (reference :25086-25312 + soft-pass
+    rules :32110-32299) with structured reasons explaining each component
+    of the score."""
     cfg = profile_config(profile)
     errors = sum(1 for i in issues if i["severity"] == "error")
     warnings = sum(1 for i in issues if i["severity"] == "warning")
@@ -222,14 +377,46 @@ def quality_gate(draft: dict, issues: List[dict], profile: str) -> dict:
                 if item.get("refs"):
                     refs_total += 1
     ref_coverage = refs_total / refs_items if refs_items else 0.0
-    score = (
-        0.45 * (sections_present / len(DRAFT_ALL_KEYS))
-        + 0.35 * ref_coverage
-        + 0.2 * max(0.0, 1.0 - errors * 0.5 - warnings * 0.08)
-    )
+    analysis = draft.get("analysis") or {}
+    analysis_depth = sum(
+        1 for k in ANALYSIS_KEYS
+        if isinstance(analysis.get(k), str) and len(analysis[k]) >= 20
+    ) / len(ANALYSIS_KEYS)
+    has_vis = bool(draft.get("visualizations"))
+    body_chars = len(draft.get("overview") or "") + sum(
+        len(analysis.get(k) or "") for k in ANALYSIS_KEYS)
+
+    components = {
+        "structure": 0.3 * (sections_present / len(DRAFT_ALL_KEYS)),
+        "ref_coverage": 0.3 * ref_coverage,
+        "analysis_depth": 0.2 * analysis_depth,
+        "visualization": 0.05 * (1.0 if has_vis else 0.0),
+        "issue_penalty": 0.15 * max(
+            0.0, 1.0 - errors * 0.5 - warnings * 0.08),
+    }
+    score = sum(components.values())
+
+    reasons = []
+    if errors:
+        reasons.append(f"{errors} 个结构性错误")
+    if ref_coverage < 0.5 and refs_items:
+        reasons.append(f"证据引用覆盖率仅 {ref_coverage:.0%}")
+    if analysis_depth < 0.75:
+        reasons.append("分析章节深度不足")
+    if body_chars < 200:
+        reasons.append("正文内容过短")
+    if not has_vis:
+        reasons.append("缺少可视化图表")
+
     passed = errors == 0 and score >= cfg["quality_floor"]
-    # soft-pass (reference :32110-32299): warnings-only drafts with decent
-    # structure ship with a quality warning instead of failing.
+    if profile == "release-conservative":
+        # conservative releases also require a completed review round and
+        # zero invalid-ref warnings (reference profile-adaptive
+        # thresholds :25086)
+        has_bad_refs = any(i["type"] == "invalid_ref" for i in issues)
+        passed = passed and review_rounds_run >= 1 and not has_bad_refs
+        if not passed and review_rounds_run < 1:
+            reasons.append("release-conservative 要求至少一轮评审")
     soft_pass = errors == 0 and not passed and score >= cfg[
         "quality_floor"] - 0.15
     return {
@@ -239,6 +426,9 @@ def quality_gate(draft: dict, issues: List[dict], profile: str) -> dict:
         "errors": errors,
         "warnings": warnings,
         "ref_coverage": round(ref_coverage, 3),
+        "analysis_depth": round(analysis_depth, 3),
+        "components": {k: round(v, 3) for k, v in components.items()},
+        "reasons": reasons,
         "profile": profile,
     }
 
@@ -450,11 +640,12 @@ def generate_report_v3(
         mark("render")
         return res
 
-    draft = apply_deterministic_repairs(draft, pack["q_ids"])
-    issues = validate_report_draft(draft, pack["q_ids"])
+    draft = apply_deterministic_repairs(draft, pack["q_ids"], pack["facts"])
+    issues = validate_report_draft(draft, pack["q_ids"], pack["facts"])
     mark("validate")
 
-    # --- review rounds (reference review prompt :23243, merge :23423) ---
+    # --- review rounds (reference review prompt :23243, merge :23423;
+    # repair-reprompt on unpatched issues :23307) -------------------------
     for round_no in range(cfg["review_rounds"]):
         try:
             review_text = gateway.call_model(
@@ -468,19 +659,41 @@ def generate_report_v3(
         patch = review.get("patch") or {}
         if isinstance(patch, dict) and patch:
             draft = _merge_patch(draft, patch)
-            draft = apply_deterministic_repairs(draft, pack["q_ids"])
-            issues = validate_report_draft(draft, pack["q_ids"])
+        elif review.get("issues") and not review.get("pass", True):
+            # the reviewer flagged problems but sent no patch: repair-
+            # reprompt the DRAFT lane with the named issues (ref :23307)
+            try:
+                fix_text = gateway.call_model(
+                    _repair_reprompt(draft, review["issues"]),
+                    call_type="report_draft",
+                    context={"topic": pack["topic"]},
+                )
+                fixed = parse_structured_json_response(fix_text)
+                if fixed and all(fixed.get(k) for k in DRAFT_REQUIRED_KEYS):
+                    draft = fixed
+            except Exception:
+                pass
+        draft = apply_deterministic_repairs(draft, pack["q_ids"],
+                                            pack["facts"])
+        issues = validate_report_draft(draft, pack["q_ids"], pack["facts"])
         if review.get("pass", True):
             break
     mark("review")
 
     res.issues = issues
-    res.quality = quality_gate(draft, issues, profile)
+    res.quality = quality_gate(draft, issues, profile,
+                               review_rounds_run=res.review_rounds_run)
     mark("quality_gate")
 
     if not (res.quality["passed"] or res.quality["soft_pass"]):
+        # real salvage (reference :32445): rebuild the failing sections
+        # from the evidence pack, keep whatever passed validation
         res.path = "salvage"
-        draft = apply_deterministic_repairs(draft, pack["q_ids"])
+        draft = salvage_draft(draft, pack)
+        issues = validate_report_draft(draft, pack["q_ids"], pack["facts"])
+        res.issues = issues
+        res.quality = quality_gate(draft, issues, profile,
+                                   review_rounds_run=res.review_rounds_run)
         res.quality["salvaged"] = True
 
     res.draft = draft
@@ -520,6 +733,58 @@ def _review_prompt(draft: dict, issues: List[dict]) -> str:
         "修正字段}}。\n\n已知问题：" + json.dumps(issues, ensure_ascii=False)
         + "\n\n草稿：" + json.dumps(draft, ensure_ascii=False)[:8000]
     )
+
+
+def _repair_reprompt(draft: dict, issues: list) -> str:
+    """Issue-driven re-prompt (reference repair-reprompt :23307)."""
+    return (
+        "以下报告草稿存在评审问题，请修复后输出完整修正版 JSON"
+        "（保持字段结构不变，仅修正问题项）。\n\n问题列表："
+        + json.dumps(issues[:10], ensure_ascii=False)
+        + "\n\n草稿：" + json.dumps(draft, ensure_ascii=False)[:8000]
+    )
+
+
+def salvage_draft(draft: dict, pack: dict) -> dict:
+    """Rebuild a minimally-valid draft from the failing draft + evidence
+    pack (reference salvage :32445): valid parts survive; missing or
+    broken sections are synthesized from the facts."""
+    facts = pack.get("facts", [])
+    out = dict(draft) if isinstance(draft, dict) else {}
+    if not isinstance(out.get("overview"), str) or \
+            len(out.get("overview") or "") < 30:
+        strongest = [f for f in facts
+                     if f.get("evidence_class") in ("explicit",
+                                                    "rich_option")][:3]
+        points = "；".join(
+            (f.get("answer") or "")[:60] for f in strongest if f.get("answer")
+        )
+        out["overview"] = (
+            f"本报告基于对「{pack.get('topic', '')}」的 {len(facts)} 轮访谈"
+            f"整理（自动修复版）。核心信息：{points or '见需求清单'}。"
+        )
+    if not out.get("needs"):
+        out["needs"] = [
+            {"title": (f.get("question") or "")[:40],
+             "description": (f.get("answer") or "")[:200],
+             "priority": "P1", "refs": [f["q_id"]]}
+            for f in facts[:6] if f.get("answer")
+        ]
+    analysis = out.get("analysis")
+    if not isinstance(analysis, dict):
+        analysis = out["analysis"] = {}
+    by_dim: Dict[str, List[str]] = {}
+    for f in facts:
+        if f.get("answer"):
+            by_dim.setdefault(f.get("dimension") or "其他", []).append(
+                f["answer"][:100])
+    dim_blob = "；".join(
+        f"{dim}: {answers[0]}" for dim, answers in list(by_dim.items())[:4]
+    )
+    for key in ANALYSIS_KEYS:
+        if not analysis.get(key):
+            analysis[key] = f"（自动整理）{dim_blob[:300]}"
+    return apply_deterministic_repairs(out, pack.get("q_ids", []), facts)
 
 
 def _merge_patch(draft: dict, patch: dict) -> dict:
