@@ -21,6 +21,8 @@ ENGINE_NUM_PAGES = 1024
 ENGINE_PAGE_SIZE = 64
 ENGINE_MAX_PAGES_PER_SEQ = 32
 ENGINE_TP = 1
+ENGINE_REPLICAS = 1              # local replicas per model (router when >1)
+ENGINE_REMOTE_URLS = ""          # comma list of remote engine services (DCN)
 ENGINE_DECODE_STEPS_PER_CALL = 8
 ENGINE_CHUNKED_PREFILL = True
 ENGINE_PREFILL_CHUNK_SIZE = 256

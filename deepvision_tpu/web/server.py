@@ -273,8 +273,25 @@ class AppState:
                     "QUESTION_MODEL_NAME", default_model),
                 "assessment": cfg.get_str("QUESTION_MODEL_NAME", default_model),
             }
+            n_replicas = max(1, cfg.get_int("ENGINE_REPLICAS", 1))
+            remote_urls = [
+                u for u in cfg.get_list("ENGINE_REMOTE_URLS") if u
+            ]
             for model_name in dict.fromkeys(lane_models.values()):
-                engines[model_name] = LLMEngine(engine_cfg(model_name))
+                replicas = [LLMEngine(engine_cfg(model_name))
+                            for _ in range(n_replicas)]
+                if remote_urls:
+                    from deepvision_tpu.engine.service import RemoteEngine
+
+                    replicas += [RemoteEngine(u) for u in remote_urls]
+                if len(replicas) == 1:
+                    engines[model_name] = replicas[0]
+                else:
+                    # scale-out: local replicas + DCN remotes behind one
+                    # router (SURVEY.md §5.8)
+                    from deepvision_tpu.engine.router import EngineRouter
+
+                    engines[model_name] = EngineRouter(replicas)
             for eng in engines.values():
                 # warm at boot so the first request never pays a cold
                 # compile (EngineConfig.warmup gates the actual work)

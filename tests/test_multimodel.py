@@ -56,3 +56,35 @@ def test_single_model_creates_one_engine():
     finally:
         state.shutdown()
         tmp.cleanup()
+
+
+def test_engine_replicas_routed():
+    """ENGINE_REPLICAS > 1 wraps each model in an EngineRouter
+    (SURVEY.md §5.8 scale-out)."""
+    import tempfile
+
+    from deepvision_tpu.engine.router import EngineRouter
+    from deepvision_tpu.web.server import AppState
+
+    tmp = tempfile.TemporaryDirectory()
+    state = AppState(data_dir=tmp.name, overrides={
+        "AI_MODE": "engine",
+        "QUESTION_MODEL_NAME": "dv-tiny-test",
+        "REPORT_MODEL_NAME": "dv-tiny-test",
+        "REPORT_DRAFT_MODEL_NAME": "dv-tiny-test",
+        "REPORT_REVIEW_MODEL_NAME": "dv-tiny-test",
+        "ENGINE_REPLICAS": 2,
+        "ENGINE_NUM_PAGES": 32, "ENGINE_PAGE_SIZE": 16,
+        "ENGINE_MAX_PAGES_PER_SEQ": 4, "ENGINE_MAX_SLOTS": 2,
+        "DEBUG_MODE": True,
+    })
+    try:
+        eng = state.gateway.engines["dv-tiny-test"]
+        assert isinstance(eng, EngineRouter)
+        text, meta = eng.generate_text("测试", max_tokens=2,
+                                       temperature=0.0, timeout=120)
+        assert "replica" in meta
+        assert eng.stats()["router"]["replicas"] == 2
+    finally:
+        state.shutdown()
+        tmp.cleanup()
