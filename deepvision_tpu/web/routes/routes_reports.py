@@ -267,13 +267,15 @@ def register(app, state):
 
 
 def _load_owned_report(state, filename: str, user) -> str:
+    # scope first: cross-tenant reports 404 (existence masked) BEFORE any
+    # ownership signal leaks (reference visibility checks :16231-16287)
+    scope = state.reports.scope_of(filename)
+    if scope is not None and scope != state.instance_scope:
+        raise HTTPError(404, {"error": "报告不存在"})
     owner = state.reports.owner_of(filename)
     if owner is not None and owner != str(user["user_id"]) and \
             not state.auth.is_admin(user):
         raise HTTPError(403, {"error": "无权访问该报告"})
-    scope = state.reports.scope_of(filename)
-    if scope is not None and scope != state.instance_scope:
-        raise HTTPError(404, {"error": "报告不存在"})
     content = state.reports.load(filename)
     if content is None:
         raise HTTPError(404, {"error": "报告不存在"})

@@ -305,7 +305,7 @@
     el.querySelector("#own-audit").onclick = async () => {
       try {
         const { body } = await DVApi.post("/api/admin/ownership-migrations/audit",
-          { from_user_id: el.querySelector("#own-from").value.trim() });
+          { user_id: el.querySelector("#own-from").value.trim() });
         result.innerHTML = `<pre class="json">${DVMarkdown.esc(
           JSON.stringify(body, null, 2))}</pre>`;
       } catch (e) { DV.toast(e.message, "err"); }
@@ -318,6 +318,7 @@
             to_user_id: el.querySelector("#own-to").value.trim(),
           });
         previewToken = body.preview_token;
+        const confirmWord = body.confirm_word;
         result.innerHTML = `<pre class="json">${DVMarkdown.esc(
           JSON.stringify(body, null, 2))}</pre>
           <div class="row">
@@ -348,11 +349,11 @@
           ? `<table class="list"><thead><tr><th>操作ID</th><th>from→to</th>
               <th>时间</th><th></th></tr></thead><tbody>` +
             rows.map((op) => `<tr>
-              <td>${DVMarkdown.esc(op.operation_id || "")}</td>
-              <td>${op.from_user_id} → ${op.to_user_id}</td>
+              <td>${DVMarkdown.esc(op.action || "")}</td>
+              <td>${DVMarkdown.esc(op.payload || "")}</td>
               <td class="muted">${DVMarkdown.esc(op.created_at || "")}</td>
               <td><button class="small ghost" data-rb="${
-                DVMarkdown.esc(op.operation_id || "")}">回滚</button></td>
+                DVMarkdown.esc((op.backup_path || "").split("/").pop())}">回滚</button></td>
             </tr>`).join("") + "</tbody></table>"
           : '<div class="muted">暂无记录</div>';
         el.querySelectorAll("[data-rb]").forEach((b) => {

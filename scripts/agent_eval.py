@@ -39,7 +39,7 @@ def substitute(obj, env):
     return obj
 
 
-def run_scenario(client, scenario: dict) -> list:
+def run_scenario(client, scenario: dict, app=None) -> list:
     failures = []
     env: dict = {}
     for i, step in enumerate(scenario.get("steps", [])):
@@ -52,9 +52,27 @@ def run_scenario(client, scenario: dict) -> list:
                             json_body={"phone": phone, "code": "666666"})
             if r.status_code != 200:
                 failures.append(f"step {i}: login failed {r.status_code}")
+            elif step.get("save_user"):
+                user = r.get_json().get("user") or {}
+                for var in step["save_user"]:
+                    env[var] = user.get("user_id")
             continue
         if "logout" in step:
             client.post("/api/auth/logout")
+            continue
+        if "drain_reports" in step:
+            if app is not None:
+                app.state.report_queue.drain(timeout=30)
+            continue
+        if "seed_report" in step:
+            seed = step["seed_report"]
+            if app is not None:
+                app.state.reports.save(
+                    seed["name"], seed.get("content", "# seed"),
+                    owner_user_id=str(seed.get("owner", "")) or None,
+                    instance_scope=seed.get(
+                        "scope", app.state.instance_scope),
+                )
             continue
         req = step["request"]
         method = req.get("method", "GET").upper()
@@ -109,9 +127,10 @@ def main():
                 "AI_MODE": "template", "SMS_PROVIDER": "mock",
                 "SMS_TEST_CODE": "666666", "DEBUG_MODE": True,
                 "ADMIN_PHONE_NUMBERS": "13800000001",
+                "SMS_SEND_COOLDOWN_SECONDS": 0,
             })
             try:
-                failures = run_scenario(app.test_client(), scenario)
+                failures = run_scenario(app.test_client(), scenario, app=app)
                 app.state.report_queue.drain(timeout=20)
             finally:
                 app.state.shutdown()
