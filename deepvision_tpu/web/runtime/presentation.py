@@ -48,23 +48,56 @@ class PresentationService:
     def start(self, report_name: str, content: str) -> dict:
         cfg = self.state.resolver
         api_url = cfg.get_str("REFLY_API_URL")
-        if not api_url:
-            raise RuntimeError("Refly 工作流未配置（REFLY_API_URL 为空）")
         current = self.status(report_name)
         if current.get("active"):
             return current
         payload = {"active": True, "state": "submitting", "report_name":
-                   report_name, "started_at": utc_now_iso()}
+                   report_name, "started_at": utc_now_iso(),
+                   "mode": "refly" if api_url else "local"}
         self._save(report_name, payload)
         with self._lock:
             self._abort_flags[report_name] = threading.Event()
             t = threading.Thread(
-                target=self._run, args=(report_name, content),
+                target=self._run if api_url else self._run_local,
+                args=(report_name, content),
                 daemon=True, name=f"dv-refly-{report_name[:16]}",
             )
             self._threads[report_name] = t
             t.start()
         return payload
+
+    def _run_local(self, report_name: str, content: str) -> None:
+        """Local presentation: no external workflow needed (the reference
+        is dead without Refly; zero-egress deployments get a slide-deck
+        PDF rendered in-process from the report's own structure)."""
+        try:
+            self._save(report_name, {"active": True, "state": "running",
+                                     "mode": "local"})
+            pdf = build_presentation_pdf(content, title=report_name)
+            from deepvision_tpu.web.object_storage import (
+                ObjectStorageHistoryService,
+            )
+
+            storage = ObjectStorageHistoryService(self.state)
+            key = storage.archive_export(
+                report_name, f"local-{int(time.time())}",
+                f"{report_name}.presentation.pdf", pdf,
+            )
+            self._save(report_name, {
+                "active": False, "state": "completed", "mode": "local",
+                "storage_key": key,
+                "candidate": {"score": 1.0, "pages": content.count("## ")
+                              + 2, "source": "local"},
+            })
+        except Exception as e:  # noqa: BLE001
+            self._save(report_name, {
+                "active": False, "state": "failed", "mode": "local",
+                "error": f"{type(e).__name__}: {e}",
+            })
+        finally:
+            with self._lock:
+                self._threads.pop(report_name, None)
+                self._abort_flags.pop(report_name, None)
 
     def abort(self, report_name: str) -> dict:
         with self._lock:
@@ -164,3 +197,36 @@ class PresentationService:
             with self._lock:
                 self._threads.pop(report_name, None)
                 self._abort_flags.pop(report_name, None)
+
+
+def build_presentation_pdf(markdown: str, title: str = "") -> bytes:
+    """Slide-structured PDF from a report: cover + one slide per H2
+    section (title + first bullets/sentences), closing slide.  Reuses the
+    from-scratch CJK PDF writer in runtime/exports.py."""
+    import re as _re
+
+    from deepvision_tpu.web.runtime.exports import markdown_to_pdf
+
+    sections = []
+    current = None
+    for line in markdown.splitlines():
+        m = _re.match(r"^##\s+(.*)", line)
+        if m:
+            if current:
+                sections.append(current)
+            current = {"title": m.group(1).strip(), "lines": []}
+        elif current is not None and line.strip() and \
+                not line.startswith("#") and not line.startswith("```"):
+            if len(current["lines"]) < 6:
+                current["lines"].append(line.strip()[:80])
+    if current:
+        sections.append(current)
+
+    deck = [f"# {title or '方案演示'}", "", "---", ""]
+    for s in sections:
+        deck += [f"# {s['title']}", ""]
+        for ln in s["lines"]:
+            deck.append(f"- {ln}" if not ln.startswith("-") else ln)
+        deck += ["", "---", ""]
+    deck += ["# 谢谢", "", "- 由 DeepVision TPU 引擎本地生成"]
+    return markdown_to_pdf("\n".join(deck), title=title or "presentation")

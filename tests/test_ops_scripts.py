@@ -198,3 +198,51 @@ def test_backfill_cli(dirs):
     r = run_script("backfill_evidence_annotations.py", "--data-dir", dst)
     assert r.returncode == 0, r.stderr
     assert "1 entries across 1 sessions" in r.stdout
+
+
+def test_version_manager_lifecycle(tmp_path, monkeypatch):
+    """add -> validate -> next -> release -> notes (reference
+    scripts/version_manager.py release aggregation)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "vm", os.path.join(ROOT, "scripts", "version_manager.py"))
+    vm = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(vm)
+    monkeypatch.setattr(vm, "FRAGMENTS_DIR", str(tmp_path / "unreleased"))
+    monkeypatch.setattr(vm, "VERSION_JSON", str(tmp_path / "version.json"))
+
+    class A:  # argparse shim
+        pass
+
+    a = A(); a.kind = "feature"; a.summary = "新增引擎路由"
+    vm.cmd_add(a)
+    a = A(); a.kind = "fix"; a.summary = "修复回滚竞态"
+    vm.cmd_add(a)
+    a = A()
+    assert vm.cmd_validate(a) == 0
+    import io, contextlib
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        vm.cmd_next(A())
+    assert buf.getvalue().strip() == "0.1.0"  # feature -> minor bump
+
+    a = A(); a.version = "0.1.0"; a.force = False
+    vm.cmd_release(a)
+    data = json.load(open(tmp_path / "version.json", encoding="utf-8"))
+    assert data["version"] == "0.1.0"
+    assert len(data["releases"][0]["changes"]) == 2
+    assert not os.listdir(tmp_path / "unreleased")  # fragments consumed
+
+    a = A(); a.unreleased = False
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        vm.cmd_notes(a)
+    notes = buf.getvalue()
+    assert "0.1.0" in notes and "新增引擎路由" in notes
+
+    # invalid fragment caught
+    (tmp_path / "unreleased" / "bad.json").write_text(
+        '{"kind": "nope", "summary": ""}', encoding="utf-8")
+    assert vm.cmd_validate(A()) == 1
