@@ -88,6 +88,49 @@ def dimension_entries(session: dict, dimension_id: str) -> List[dict]:
     ]
 
 
+# ---------------------------------------------------------------------------
+# Depth V2 quality tiers (reference INTERVIEW_MODES_V2 web/server.py:18628)
+# ---------------------------------------------------------------------------
+
+INTERVIEW_MODES_V2 = {
+    # tier thresholds classify each answer high/medium/low; follow-up
+    # budgets spend per-tier (weak answers earn more probes); dimensions
+    # exit only with the required number of high-tier answers.
+    "quick": {
+        "tier_thresholds": {"high": 0.55, "medium": 0.3},
+        "min_high_answers": 0,
+        "follow_up_budget_by_tier": {"low": 1, "medium": 1, "high": 0},
+    },
+    "standard": {
+        "tier_thresholds": {"high": 0.6, "medium": 0.4},
+        "min_high_answers": 1,
+        "follow_up_budget_by_tier": {"low": 2, "medium": 1, "high": 0},
+    },
+    "deep": {
+        "tier_thresholds": {"high": 0.65, "medium": 0.45},
+        "min_high_answers": 2,
+        "follow_up_budget_by_tier": {"low": 3, "medium": 2, "high": 1},
+    },
+}
+
+
+def v2_enabled(session: dict) -> bool:
+    return bool((session.get("depth_v2") or {}).get("enabled"))
+
+
+def v2_config(mode: str) -> dict:
+    return INTERVIEW_MODES_V2.get(mode, INTERVIEW_MODES_V2["standard"])
+
+
+def answer_quality_tier(score: float, mode: str) -> str:
+    th = v2_config(mode)["tier_thresholds"]
+    if score >= th["high"]:
+        return "high"
+    if score >= th["medium"]:
+        return "medium"
+    return "low"
+
+
 def dimension_saturation(session: dict, dimension: dict, mode: str) -> dict:
     """Coverage + quality saturation (reference :18973)."""
     cfg = mode_config(mode)
@@ -110,12 +153,33 @@ def dimension_saturation(session: dict, dimension: dict, mode: str) -> dict:
         or (len(main_qs) >= dimension.get("min_questions", 2)
             and avg_quality >= cfg["quality_threshold"] + 0.2)
     )
-    return {
+    out = {
         "asked": len(main_qs),
         "budget": budget,
         "avg_quality": round(avg_quality, 3),
         "saturated": saturated,
     }
+    if v2_enabled(session):
+        # V2 exit condition: the quality MIX matters, not just the mean
+        # (reference V2 quality tiers :18628).  A dimension may exit at
+        # the BASE threshold (not v1's +0.2) once its high-tier quota is
+        # met; without the quota it keeps asking until the hard budget.
+        tiers = [answer_quality_tier(s, mode) for s in scores]
+        high_n = tiers.count("high")
+        need_high = v2_config(mode)["min_high_answers"]
+        out["tiers"] = {t: tiers.count(t)
+                        for t in ("high", "medium", "low")}
+        out["high_required"] = need_high
+        early_ok = (
+            len(main_qs) >= dimension.get("min_questions", 2)
+            and avg_quality >= cfg["quality_threshold"]
+            and high_n >= need_high
+        )
+        out["saturated"] = len(main_qs) >= budget or early_ok
+        if not out["saturated"] and len(main_qs) >= dimension.get(
+                "min_questions", 2) and high_n < need_high:
+            out["held_for_quality"] = True
+    return out
 
 
 def user_fatigue(session: dict) -> float:
@@ -146,7 +210,18 @@ def should_follow_up(
     Returns {follow_up: bool, reason, follow_up_round, context}."""
     cfg = mode_config(mode)
     round_no = int(last_entry.get("follow_up_round") or 0)
-    if round_no >= cfg["max_follow_up_rounds"]:
+    max_rounds = cfg["max_follow_up_rounds"]
+    if v2_enabled(session):
+        # V2: the follow-up budget is spent per answer-quality tier —
+        # weak answers earn more probes, strong answers none
+        depth0 = evaluate_answer_depth(
+            last_entry.get("answer", ""),
+            last_entry.get("rationale_text", ""))
+        tier = answer_quality_tier(
+            last_entry.get("quality_score") or depth0["score"], mode)
+        max_rounds = v2_config(mode)["follow_up_budget_by_tier"].get(
+            tier, max_rounds)
+    if round_no >= max_rounds:
         return {"follow_up": False, "reason": "follow_up_budget_exhausted"}
     if session.get("depth_v2", {}).get("skip_followup_confirm"):
         return {"follow_up": False, "reason": "user_skipped"}
