@@ -120,7 +120,7 @@ DV_TINY_1B = _register(
 DV_MINI = _register(
     ModelConfig(
         name="dv-mini",
-        vocab_size=4736,
+        vocab_size=6016,
         d_model=512,
         n_layers=6,
         n_heads=4,

@@ -460,9 +460,18 @@ def register(app, state):
         message = (body.get("message") or "").strip()
         if not message:
             raise HTTPError(400, {"error": "缺少消息内容"})
-        return state.assistant.chat(
-            session, message, body.get("current_question")
-        )
+        # accept both the nested shape and the frontend's flat fields
+        current_q = body.get("current_question")
+        if not current_q and body.get("question"):
+            current_q = {
+                "question": body.get("question"),
+                "options": body.get("options") or [],
+                "multi_select": bool(body.get("multi_select")),
+                "answer_mode": body.get("answer_mode"),
+            }
+        out = state.assistant.chat(session, message, current_q)
+        state.sessions.save(session)  # persist assistant chat memory
+        return out
 
     # ------------------------------------------------------------------
     # Report readiness + generation submit (§3.3)

@@ -173,6 +173,16 @@ def _question_json(rng, dim, is_follow_up=False):
         f"针对{aspect}，您已经尝试过哪些做法？效果如何？",
         f"如果资源有限，{aspect}中哪一项您认为必须优先解决？",
         f"{aspect}目前由谁负责？判断好坏的标准是什么？",
+        f"能否量化一下{aspect}带来的影响，比如时间、成本或人力？",
+        f"{aspect}的现状与一年前相比有什么变化？",
+        f"在{aspect}上，团队内部是否存在分歧？主要集中在哪里？",
+        f"如果{aspect}得到解决，您预期最先看到哪些改善？",
+        f"{aspect}相关的数据目前存放在哪些系统里？口径一致吗？",
+        f"围绕{aspect}，最近一次出问题的具体经过是怎样的？",
+        f"{aspect}的决策流程是怎样的？需要哪些角色审批？",
+        f"您认为{aspect}的瓶颈更多在流程、工具还是人员能力？",
+        f"针对{aspect}，同行或竞品的做法您了解多少？",
+        f"{aspect}如果继续维持现状，半年后会发生什么？",
     ]
     q = ("追问：" if is_follow_up else "") + rng.choice(stems)
     options = rng.choice(OPTION_BANK)
