@@ -13,7 +13,7 @@ stacked-layer pytree.  Conventions handled:
 
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict
 
 import numpy as np
 

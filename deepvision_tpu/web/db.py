@@ -13,7 +13,7 @@ from __future__ import annotations
 import re
 import sqlite3
 import threading
-from typing import Any, Iterable, Optional
+from typing import Iterable
 
 
 def is_postgres_url(target: str) -> bool:

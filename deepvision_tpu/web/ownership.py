@@ -13,7 +13,7 @@ import json
 import os
 import secrets
 import time
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 from deepvision_tpu.web.meta_index import utc_now_iso
 

@@ -10,7 +10,7 @@ from __future__ import annotations
 import hashlib
 import json
 import threading
-from typing import Optional, Tuple
+from typing import Tuple
 
 from deepvision_tpu.web.http import HTTPError, Request, Response
 

@@ -16,7 +16,7 @@ import io
 import re
 import zipfile
 import zlib
-from typing import Dict, List, Optional
+from typing import List, Optional
 from xml.etree import ElementTree
 
 SUPPORTED_EXTENSIONS = (

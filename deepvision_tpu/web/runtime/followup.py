@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import json
 import re
-from typing import Dict, List, Optional
+from typing import List
 
 from deepvision_tpu.web.runtime.interview import mode_config
 

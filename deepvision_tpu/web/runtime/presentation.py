@@ -13,7 +13,6 @@ from __future__ import annotations
 import json
 import threading
 import time
-from typing import Optional
 
 from deepvision_tpu.web.meta_index import utc_now_iso
 

@@ -13,7 +13,7 @@ import threading
 import time
 import traceback
 from concurrent.futures import ThreadPoolExecutor
-from typing import Callable, Dict, Optional
+from typing import Dict
 
 from deepvision_tpu.web.meta_index import MetaIndex, utc_now_iso
 from deepvision_tpu.web.runtime import report_v3

@@ -13,7 +13,7 @@ import json
 import re
 import threading
 import time
-from typing import Dict, Optional
+from typing import Dict
 
 _TIME_SENSITIVE = ("最新", "今年", "2025", "2026", "行情", "价格", "政策",
                    "市场规模", "竞品", "趋势")

@@ -13,7 +13,7 @@ import hashlib
 import json
 import re
 import time
-from typing import Dict, List, Optional
+from typing import List, Optional
 
 SCHEMA_VERSION = "tpu-1.0"
 

@@ -16,7 +16,7 @@ import re
 import secrets
 import threading
 import time
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Dict, List, Optional, Tuple
 
 from deepvision_tpu.web.meta_index import MetaIndex, utc_now_iso
 
