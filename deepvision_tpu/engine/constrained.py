@@ -42,7 +42,11 @@ CLS_LBRACE, CLS_RBRACE, CLS_LBRACK, CLS_RBRACK = 0, 1, 2, 3
 CLS_QUOTE, CLS_BACKSLASH, CLS_COLON, CLS_COMMA = 4, 5, 6, 7
 CLS_WS, CLS_ZERO, CLS_DIG19, CLS_MINUS, CLS_PLUS = 8, 9, 10, 11, 12
 CLS_DOT, CLS_EXP, CLS_LIT, CLS_OTHER, CLS_CTRL = 13, 14, 15, 16, 17
-N_CLS = 18
+# \t \n \r: legal BETWEEN JSON tokens, ILLEGAL unescaped inside strings
+# (json.loads strict mode) — so they get their own class, distinct from
+# space (CLS_WS) which is legal in both positions.
+CLS_WSCTL = 18
+N_CLS = 19
 
 _LIT_CHARS = set(b"trufalsn")  # chars of true/false/null (minus e/E)
 
@@ -64,8 +68,10 @@ def byte_class(b: int) -> int:
         return CLS_COLON
     if b == 0x2C:
         return CLS_COMMA
-    if b in (0x20, 0x09, 0x0A, 0x0D):
+    if b == 0x20:
         return CLS_WS
+    if b in (0x09, 0x0A, 0x0D):
+        return CLS_WSCTL
     if b == 0x30:
         return CLS_ZERO
     if 0x31 <= b <= 0x39:
@@ -101,6 +107,8 @@ M_STR_ESC = 7
 M_NUM = 8          # inside a number; aux = N_* sub-mode below
 M_AFTER = 9        # after a complete value: ',' or matching close
 M_LIT = 10         # inside a literal; literal progress tracked separately
+M_KEY_HEX = 11     # inside \uXXXX in a key; aux = hex digits remaining
+M_STR_HEX = 12     # inside \uXXXX in a string value
 
 # number sub-modes (JSON: -?(0|[1-9][0-9]*)(\.[0-9]+)?([eE][+-]?[0-9]+)?)
 N_SIGN, N_ZERO, N_INT, N_FRAC0, N_FRAC, N_EXP0, N_EXP1, N_EXP = range(8)
@@ -115,7 +123,7 @@ _STRING_CONTENT_CLASSES = (
     CLS_LIT, CLS_OTHER,
 )
 
-_VALID_ESCAPES = frozenset(b'"\\/bfnrt')
+_VALID_ESCAPES = frozenset(b'"\\/bfnrt')  # \u handled via the HEX states
 
 
 class _DfaBuilder:
@@ -222,12 +230,14 @@ class _DfaBuilder:
                 go(CLS_QUOTE, (stack, M_COLON, 0))
 
             elif mode == M_KEY_ESC:
-                # escapes are byte-exact (" \ / b f n r t) — resolved in
+                # escapes are byte-exact (" \ / b f n r t u) — resolved in
                 # walk_byte; the row stores the continuation under CLS_QUOTE
                 nkey = (stack, M_KEY, 0)
                 row[CLS_QUOTE] = self._state(nkey)
                 if nkey not in seen:
                     pending.append(nkey)
+                for n in (4, 3, 2, 1):  # materialize \uXXXX hex states
+                    self._state((stack, M_KEY_HEX, n))
 
             elif mode == M_COLON:
                 go(CLS_WS, key)
@@ -245,6 +255,8 @@ class _DfaBuilder:
                 row[CLS_QUOTE] = self._state(nkey)
                 if nkey not in seen:
                     pending.append(nkey)
+                for n in (4, 3, 2, 1):  # materialize \uXXXX hex states
+                    self._state((stack, M_STR_HEX, n))
 
             elif mode == M_NUM:
                 sub = aux
@@ -300,6 +312,17 @@ class _DfaBuilder:
                             nkey not in seen:
                         pending.append(nkey)
 
+        # post-pass: \t \n \r follow the same transitions as space in
+        # every STRUCTURAL state; inside strings/keys they stay forbidden
+        # (json.loads strict mode rejects unescaped control chars there)
+        for key, sid in self.states.items():
+            if key[0] in ("FREE", "ACCEPT"):
+                self.trans[sid][CLS_WSCTL] = self.trans[sid][CLS_WS]
+                continue
+            if key[1] in (M_STR, M_KEY):
+                continue
+            self.trans[sid][CLS_WSCTL] = self.trans[sid][CLS_WS]
+
     def _wire_after(self, row, stack, *, as_number: bool):
         """Fill ',' and close-bracket transitions for a complete value."""
         if not stack:
@@ -338,12 +361,26 @@ class _DfaBuilder:
         if rev is None or len(rev) != len(self.states):
             rev = self._rev = {v: k for k, v in self.states.items()}
         key = rev.get(sid)
-        # escape states need byte-exact matching (" \ / b f n r t)
+        # escape states need byte-exact matching (" \ / b f n r t u)
         if key and key[0] not in ("FREE", "ACCEPT") and \
                 key[1] in (M_KEY_ESC, M_STR_ESC):
+            if b == 0x75:  # 'u' -> four hex digits
+                hex_mode = M_KEY_HEX if key[1] == M_KEY_ESC else M_STR_HEX
+                return self.states[(key[0], hex_mode, 4)]
             if b in _VALID_ESCAPES:
                 return int(self.trans[sid][CLS_QUOTE])
             return -1
+        # \uXXXX hex digits are byte-exact too
+        if key and key[0] not in ("FREE", "ACCEPT") and \
+                key[1] in (M_KEY_HEX, M_STR_HEX):
+            if not (0x30 <= b <= 0x39 or 0x41 <= b <= 0x46
+                    or 0x61 <= b <= 0x66):
+                return -1
+            stack, mode, remaining = key
+            if remaining > 1:
+                return self.states[(stack, mode, remaining - 1)]
+            back = M_KEY if mode == M_KEY_HEX else M_STR
+            return self.states[(stack, back, 0)]
         # literal states need byte-exact matching
         if key and key[0] not in ("FREE", "ACCEPT") and key[1] == M_LIT:
             li, pos = key[2]
@@ -428,8 +465,16 @@ class JsonTokenDfa:
         eos = tokenizer.eos_id
         cache_path = None
         if cache_dir:
+            # the signature must cover the token-to-bytes CONTENT, not just
+            # the vocab size — a retrained tokenizer with an identical
+            # vocab count would otherwise silently reuse a stale table
+            content = hashlib.md5()
+            for tid in range(vocab):
+                content.update(
+                    (_id_to_token(tokenizer, tid) or "\x00").encode())
             sig = hashlib.md5(
-                f"json-dfa-v3:{vocab}:{eos}:{max_depth}:{root}".encode()
+                f"json-dfa-v4:{vocab}:{eos}:{max_depth}:{root}:"
+                f"{content.hexdigest()}".encode()
             ).hexdigest()[:12]
             cache_path = os.path.join(cache_dir, f"json_dfa_{sig}.npz")
             if os.path.isfile(cache_path):

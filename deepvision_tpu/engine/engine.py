@@ -241,7 +241,8 @@ class LLMEngine:
         prompt_tokens = self.tokenizer.encode(prompt)
         max_ctx = self.cache_cfg.max_context
         if len(prompt_tokens) + max_tokens > max_ctx:
-            prompt_tokens = prompt_tokens[-(max_ctx - max_tokens):]
+            keep = max(1, max_ctx - max_tokens)  # max_tokens >= ctx: keep 1
+            prompt_tokens = prompt_tokens[-keep:]
         req = self.submit_tokens(
             prompt_tokens,
             max_tokens=max_tokens,

@@ -97,6 +97,23 @@ class PrefixCache:
                 "last_used": time.monotonic(),
             }
 
+    def evict_lru(self, n_pages: int) -> int:
+        """Release least-recently-used entries until roughly ``n_pages``
+        of cache-held pages have been dropped (admission back-pressure:
+        a cold cache must never starve live requests of KV memory).
+        Returns the number of pages released."""
+        released = 0
+        with self._lock:
+            while self._entries and released < n_pages:
+                lru_key = min(
+                    self._entries,
+                    key=lambda k: self._entries[k]["last_used"],
+                )
+                entry = self._entries.pop(lru_key)
+                self.alloc.free(entry["pages"])
+                released += len(entry["pages"])
+        return released
+
     def evict(self, key: str) -> None:
         with self._lock:
             entry = self._entries.pop(key, None)

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import threading
 import time
+import zlib
 from typing import List, Optional
 
 from deepvision_tpu.engine.scheduler import EngineOverloadedError
@@ -65,6 +66,7 @@ class EngineRouter:
         self.replicas = list(replicas)
         self.health = [_ReplicaHealth(cooldown_s) for _ in self.replicas]
         self.routed = [0] * len(self.replicas)
+        self.inflight = [0] * len(self.replicas)
         self.failovers = 0
         self._lock = threading.Lock()
         # model_cfg passthrough for stats/meta consumers
@@ -76,7 +78,7 @@ class EngineRouter:
         try:
             q = eng.scheduler.queue_depths()
             return q["high"] + q["low"] + q["active"] + q["prefilling"]
-        except Exception:  # remote replicas may not expose depths cheaply
+        except Exception:  # remote replicas: no cheap depth probe
             return 0
 
     def _candidates(self, prefix_key: Optional[str]) -> List[int]:
@@ -85,7 +87,10 @@ class EngineRouter:
         if not healthy:
             healthy = list(range(n))  # forced-open fallback
         if prefix_key:
-            home = hash(prefix_key) % n
+            # stable across processes/restarts (built-in hash() is
+            # PYTHONHASHSEED-randomized, which would re-home every session
+            # on restart and defeat the device-side prefix cache)
+            home = zlib.crc32(str(prefix_key).encode()) % n
             # home first (prefix-cache locality), then the rest by load
             rest = sorted(
                 (i for i in healthy if i != home),
@@ -95,12 +100,26 @@ class EngineRouter:
         return sorted(healthy, key=self._load_of)
 
     def _load_of(self, idx: int) -> int:
-        return self._queue_depth(self.replicas[idx])
+        # router-tracked in-flight covers remote replicas too (their
+        # scheduler depth is not cheaply observable over HTTP)
+        return self.inflight[idx] + self._queue_depth(self.replicas[idx])
 
     # -- engine surface ----------------------------------------------------
     def start(self) -> None:
-        for eng in self.replicas:
-            eng.start()
+        # one unhealthy replica must not block boot: mark its breaker
+        # open and let the health loop recover it later
+        last_exc = None
+        started = 0
+        for i, eng in enumerate(self.replicas):
+            try:
+                eng.start()
+                started += 1
+            except Exception as e:  # noqa: BLE001
+                self.health[i].record_failure()
+                self.health[i].record_failure()  # force-open the breaker
+                last_exc = e
+        if started == 0 and last_exc is not None:
+            raise last_exc
 
     def shutdown(self) -> None:
         for eng in self.replicas:
@@ -113,13 +132,21 @@ class EngineRouter:
         for attempt, idx in enumerate(candidates[:2]):  # one failover hop
             eng = self.replicas[idx]
             try:
-                text, meta = eng.generate_text(prompt, **kw)
+                with self._lock:
+                    self.inflight[idx] += 1
+                try:
+                    text, meta = eng.generate_text(prompt, **kw)
+                finally:
+                    with self._lock:
+                        self.inflight[idx] -= 1
             except (EngineOverloadedError, TimeoutError,
-                    RuntimeError, ConnectionError) as e:
+                    RuntimeError, OSError) as e:
+                # OSError covers urllib URLError (connection refused/reset)
+                # from remote replicas
                 self.health[idx].record_failure()
                 last_exc = e
-                with self._lock:
-                    if attempt > 0 or len(candidates) > 1:
+                if attempt == 0 and len(candidates) > 1:
+                    with self._lock:
                         self.failovers += 1
                 continue
             self.health[idx].record_success()

@@ -338,6 +338,11 @@ class ContinuousBatchingScheduler:
                     req.prefix_key, req.prompt_tokens
                 )
             fresh = self.alloc.try_alloc(need - len(shared_pages))
+            if fresh is None and self.prefix_cache is not None:
+                # KV pressure: live requests outrank cold cache entries —
+                # drop LRU prefixes and retry before giving up
+                self.prefix_cache.evict_lru(need - len(shared_pages))
+                fresh = self.alloc.try_alloc(need - len(shared_pages))
             if fresh is None:
                 # Not enough KV memory — push back and wait for retirements.
                 self.alloc.free(shared_pages)
@@ -533,10 +538,23 @@ class ContinuousBatchingScheduler:
         # are mid-prefill, so waiting prompts advance every ~one step.
         if self._prefilling:
             K = 1
-        out = self.runner.decode(
-            tokens, lens, bt, temps, topk, topp, n_steps=K,
-            dfa_states=dstates,
-        )  # [K, B]
+        try:
+            out = self.runner.decode(
+                tokens, lens, bt, temps, topk, topp, n_steps=K,
+                dfa_states=dstates,
+            )  # [K, B]
+        except Exception as e:  # noqa: BLE001 — the engine must not die:
+            # a device/dispatch error fails the ACTIVE requests but keeps
+            # the scheduler thread alive for future work
+            for seq in list(self._active.values()):
+                self._active.pop(seq.slot, None)
+                self._free_slots.append(seq.slot)
+                self.alloc.free(seq.pages)
+                seq.req.finish(self._mk_result(
+                    seq.req, list(seq.generated), "error",
+                    seq.queue_wait_ms, seq.prefill_ms, 0,
+                    error=f"decode failed: {type(e).__name__}: {e}"))
+            return True
         self.steps += K
 
         finished: List[tuple] = []

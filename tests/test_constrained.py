@@ -165,3 +165,47 @@ def test_engine_unconstrained_unaffected():
         assert meta["completion_tokens"] >= 1
     finally:
         eng.shutdown()
+
+
+def test_control_chars_forbidden_inside_strings(bpe_dfa):
+    """json.loads strict mode rejects unescaped \\t \\n \\r inside strings;
+    the grammar must too (code-review finding: CLS_WS used to cover them
+    as string content)."""
+    tok, dfa = bpe_dfa
+    for bad in ('{"a": "x\ny"}', '{"a": "x\ty"}', '{"a\r": 1}'):
+        s = dfa.walk(tok.encode(bad))
+        if s >= 0:
+            s = dfa.next_state(s, tok.eos_id)
+        assert s != dfa.accept, repr(bad)
+    # ... while they remain legal BETWEEN tokens
+    ok = '{\n\t"a":\t1\n}'
+    assert dfa.walk(tok.encode(ok) + [tok.eos_id]) == dfa.accept
+
+
+def test_unicode_escapes_allowed(bpe_dfa):
+    tok, dfa = bpe_dfa
+    good = '{"a": "\\u4e2d\\u6587", "k\\u0041": 1}'
+    assert dfa.walk(tok.encode(good) + [tok.eos_id]) == dfa.accept
+    for bad in ('{"a": "\\u12"}', '{"a": "\\uzzzz"}', '{"a": "\\x41"}'):
+        s = dfa.walk(tok.encode(bad))
+        if s >= 0:
+            s = dfa.next_state(s, tok.eos_id)
+        assert s != dfa.accept, repr(bad)
+
+
+def test_cache_signature_tracks_tokenizer_content(tmp_path):
+    """A retrained tokenizer with identical vocab size must not reuse a
+    stale cached table (code-review finding)."""
+    import os
+
+    from deepvision_tpu.engine.tokenizer import ByteTokenizer
+
+    class ShiftedByteTokenizer(ByteTokenizer):
+        """Same vocab size/eos, different token content."""
+
+    JsonTokenDfa.build(ByteTokenizer(), cache_dir=str(tmp_path))
+    files1 = set(os.listdir(tmp_path))
+    assert files1
+    # identical tokenizer -> cache hit, no new file
+    JsonTokenDfa.build(ByteTokenizer(), cache_dir=str(tmp_path))
+    assert set(os.listdir(tmp_path)) == files1

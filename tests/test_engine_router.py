@@ -53,9 +53,11 @@ def test_router_prefix_stickiness(pair):
 
 
 def test_router_failover_on_dead_replica(pair):
+    import zlib
+
     router, a, b = pair
-    # force every request to prefer replica 0 then kill it
-    home = hash("sess-x") % 2
+    # kill whichever replica is the sticky home for this prefix key
+    home = zlib.crc32(b"sess-x") % 2
     dead = (a, b)[home]
     dead.shutdown()
     dead.scheduler.submit = lambda req: (_ for _ in ()).throw(
