@@ -133,6 +133,27 @@ DV_MINI = _register(
     )
 )
 
+# dv-base: the round-2 flagship — ~92M params trained from scratch on TPU
+# by scripts/train_model.py over the enriched synthetic corpus with the
+# dv_bpe_16k tokenizer.  Trained at the full serving window (seq 2048) so
+# every position the app serves is in-distribution (dv-mini only saw 512).
+# head_dim 128 keeps the paged decode kernel on the Mosaic fast path.
+DV_BASE = _register(
+    ModelConfig(
+        name="dv-base",
+        vocab_size=16384,
+        d_model=768,
+        n_layers=12,
+        n_heads=6,
+        n_kv_heads=2,
+        d_ff=2048,
+        head_dim=128,
+        rope_theta=10000.0,
+        max_seq_len=2048,
+        tie_embeddings=True,
+    )
+)
+
 # Gemma-2B-class architecture (question lane default).
 GEMMA_2B = _register(
     ModelConfig(

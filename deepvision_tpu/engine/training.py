@@ -32,12 +32,25 @@ def cross_entropy_loss(logits: jax.Array, targets: jax.Array) -> jax.Array:
     return -jnp.mean(ll)
 
 
-def make_train_step(cfg: ModelConfig, tx: optax.GradientTransformation):
-    """Returns jitted ``step(params, opt_state, tokens) -> (params, opt_state, loss)``."""
+def make_train_step(
+    cfg: ModelConfig,
+    tx: optax.GradientTransformation,
+    *,
+    use_kernel: bool = False,
+):
+    """Returns jitted ``step(params, opt_state, tokens) -> (params, opt_state, loss)``.
+
+    ``use_kernel=True`` runs the Pallas flash-attention forward with the
+    dense-recompute VJP (kernels/flash_attention.py:128-151): residuals are
+    O(S) per layer instead of the dense path's O(S^2) softmax activations,
+    which is what makes seq-2048 training of dv-base fit in HBM.
+    """
 
     def step(params, opt_state, tokens):
         def loss_fn(p):
-            logits = model_lib.forward_train(p, tokens[:, :-1], cfg=cfg)
+            logits = model_lib.forward_train(
+                p, tokens[:, :-1], cfg=cfg, use_kernel=use_kernel
+            )
             return cross_entropy_loss(logits, tokens[:, 1:])
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
@@ -60,19 +73,24 @@ class Trainer:
         seed: int = 0,
         tx: Optional[optax.GradientTransformation] = None,
         param_dtype=None,
+        use_kernel: bool = False,
+        init: Optional[dict] = None,
     ):
         self.cfg = cfg
         self.mesh = mesh
         self.plan = plan
         self.tx = tx if tx is not None else optax.adamw(learning_rate)
-        params = (init_params(cfg, seed, dtype=param_dtype)
-                  if param_dtype is not None else init_params(cfg, seed))
+        if init is not None:
+            params = init
+        else:
+            params = (init_params(cfg, seed, dtype=param_dtype)
+                      if param_dtype is not None else init_params(cfg, seed))
         if mesh is not None:
             assert plan is not None
             params = shard_params(params, mesh, plan, cfg)
         self.params = params
         self.opt_state = jax.jit(self.tx.init)(params)
-        self._step = make_train_step(cfg, self.tx)
+        self._step = make_train_step(cfg, self.tx, use_kernel=use_kernel)
         self.step_count = 0
 
     def place_batch(self, tokens):

@@ -1,13 +1,8 @@
 #!/usr/bin/env python
-"""Train dv-mini from scratch on the TPU with the framework's own Trainer.
+"""Train dv-mini from scratch on the TPU (thin wrapper over train_model.py).
 
-The reference app rents model quality over HTTPS; this framework owns it:
-corpus (scripts/build_corpus.py) -> BPE tokenizer (train_tokenizer.py) ->
-this script -> a real served checkpoint (resources/checkpoints/dv-mini.npz)
-behind AI_MODE=engine.
-
-Single-chip by default; pass --dp/--tp to shard over a mesh (same GSPMD
-train step the driver's multichip dryrun exercises).
+Kept for compatibility with round-1 docs/CI; the general trainer now lives
+in scripts/train_model.py (any preset, periodic saves, val loss, resume).
 
 Usage:
   python scripts/train_dv_mini.py --corpus data/corpus/dv_corpus.txt \
@@ -17,121 +12,26 @@ Usage:
 
 from __future__ import annotations
 
-import argparse
-import os
 import sys
-import time
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-
-
-def load_tokens(corpus_path: str, tokenizer_path: str):
-    import numpy as np
-    from tokenizers import Tokenizer
-
-    tok = Tokenizer.from_file(tokenizer_path)
-    eot = tok.token_to_id("<|eot|>")
-    with open(corpus_path, encoding="utf-8") as fh:
-        text = fh.read()
-    docs = [d for d in text.split("<|eot|>") if d.strip()]
-    ids = []
-    # encode in batches (Rust-parallel)
-    B = 2048
-    for i in range(0, len(docs), B):
-        for enc in tok.encode_batch(docs[i:i + B]):
-            ids.extend(enc.ids)
-            ids.append(eot)
-    return np.asarray(ids, dtype=np.int32), tok
+import train_model
 
 
 def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--corpus", default="data/corpus/dv_corpus.txt")
-    ap.add_argument("--tokenizer",
-                    default="resources/tokenizer/dv_bpe_8k.json")
-    ap.add_argument("--out", default="resources/checkpoints/dv-mini.npz")
-    ap.add_argument("--steps", type=int, default=3000)
-    ap.add_argument("--batch", type=int, default=16)
-    ap.add_argument("--seq", type=int, default=512)
-    ap.add_argument("--lr", type=float, default=3e-4)
-    ap.add_argument("--warmup", type=int, default=100)
-    ap.add_argument("--seed", type=int, default=0)
-    ap.add_argument("--log-every", type=int, default=100)
-    args = ap.parse_args()
-
-    import numpy as np
-
-    t0 = time.time()
-    tokens, tok = load_tokens(args.corpus, args.tokenizer)
-    print(f"corpus: {len(tokens)/1e6:.1f}M tokens "
-          f"(tokenized in {time.time()-t0:.1f}s)", flush=True)
-
-    import jax
-    import optax
-
-    from deepvision_tpu.engine.config import get_model_config
-    from deepvision_tpu.engine.training import Trainer
-    from deepvision_tpu.engine.weights import count_params, save_npz
-
-    cfg = get_model_config("dv-mini")
-    assert tok.get_vocab_size() <= cfg.vocab_size, (
-        tok.get_vocab_size(), cfg.vocab_size)
-
-    warmup = min(args.warmup, max(1, args.steps // 10))
-    sched = optax.warmup_cosine_decay_schedule(
-        0.0, args.lr, warmup, max(args.steps, warmup + 1),
-        end_value=args.lr * 0.05)
-    tx = optax.chain(
-        optax.clip_by_global_norm(1.0),
-        optax.adamw(sched, weight_decay=0.01),
-    )
-    trainer = Trainer(cfg, tx=tx, seed=args.seed, param_dtype=jax.numpy.float32)
-    print(f"dv-mini: {count_params(trainer.params)/1e6:.1f}M params, "
-          f"backend={jax.default_backend()}", flush=True)
-
-    # fixed-shape batches; contiguous chunks sampled at random offsets
-    rng = np.random.RandomState(args.seed)
-    row = args.seq + 1
-    max_start = len(tokens) - row - 1
-    losses = []
-    t_start = time.time()
-    for step in range(1, args.steps + 1):
-        starts = rng.randint(0, max_start, size=args.batch)
-        batch = np.stack([tokens[s:s + row] for s in starts])
-        losses.append(trainer.train_step_async(batch))
-        if step % args.log_every == 0 or step == args.steps:
-            dt = time.time() - t_start
-            recent = [float(x) for x in losses[-args.log_every:]]
-            print(f"step {step}/{args.steps} "
-                  f"loss={np.mean(recent):.4f} "
-                  f"({dt/step*1e3:.0f} ms/step, "
-                  f"{args.batch*args.seq*step/dt/1e3:.0f} ktok/s)",
-                  flush=True)
-
-    params_bf16 = jax.tree.map(
-        lambda x: x.astype(jax.numpy.bfloat16), trainer.params)
-    save_npz(args.out, params_bf16)
-    size = os.path.getsize(args.out) / 1e6
-    print(f"saved {args.out} ({size:.1f} MB)")
-
-    # quick greedy sample as a sanity check
-    from deepvision_tpu.engine.engine import EngineConfig, LLMEngine
-
-    eng = LLMEngine(EngineConfig(
-        model="dv-mini", tokenizer=args.tokenizer, checkpoint_dir=args.out,
-        max_slots=2, num_pages=128, page_size=64, max_pages_per_seq=8,
-    ))
-    prompt = (
-        "你是一名资深需求访谈顾问，正在进行结构化访谈。\n\n"
-        "访谈主题：电商平台会员体系升级\n\n"
-        "当前维度：目标价值（关注要点：核心目标、期望价值）\n\n"
-        "请生成下一个访谈问题，输出 JSON："
-    )
-    text, meta = eng.generate_text(prompt, max_tokens=120, temperature=0.0,
-                                   timeout=600)
-    print("--- sample ---")
-    print(text[:500])
-    eng.shutdown()
+    defaults = {
+        "--model": "dv-mini",
+        "--tokenizer": "resources/tokenizer/dv_bpe_8k.json",
+        "--out": "resources/checkpoints/dv-mini.npz",
+        "--steps": "3000",
+        "--batch": "16",
+        "--seq": "512",
+    }
+    argv = sys.argv[1:]
+    for flag, value in defaults.items():
+        if flag not in argv:
+            argv += [flag, value]
+    sys.argv = [sys.argv[0]] + argv
+    train_model.main()
 
 
 if __name__ == "__main__":
