@@ -1,25 +1,34 @@
-"""Prefix cache: share fully-written KV pages across requests.
+"""Radix-tree prefix cache: share fully-written KV pages across requests.
 
 The interview flow resends a mostly-stable prompt head every next-question
 call (role + topic + docs + early history — the reference cached prompt
 *text* per session signature, web/server.py:4920; here the cached artifact
-is the prefix's KV pages on device).  With chunked prefill, a request whose
-prompt shares a page-aligned prefix with the cached entry skips straight to
-the first divergent page.
+is the prefix's KV pages on device).  Round 2 upgrades the per-key exact
+map to a token-content radix tree at page granularity, so the shared
+scenario/system head is stored ONCE and hit by every session that starts
+with it — cross-session reuse the reference's per-session text cache never
+had.  With chunked prefill, a request whose prompt shares a page-aligned
+prefix with any cached chain skips straight to the first divergent page.
 
 Safety invariants:
 * only FULL pages are ever shared (the partial tail page is rewritten by
   the new request's own prefill, and decode's in-place RMW only touches
   pages past the prompt) — shared pages are immutable by construction;
-* pages are refcounted in the allocator; the cache holds one reference,
-  every active sequence holds another.
+* edges are multiples of ``page_size`` tokens; node splits happen only at
+  page boundaries, so every node's pages correspond exactly to its tokens;
+* pages are refcounted in the allocator; the tree holds one reference per
+  cached page, every active sequence holds its own.
+
+``prefix_key`` still gates *participation* (``None`` bypasses the cache —
+the deterministic-replay escape hatch) but no longer namespaces entries:
+matching is purely by token content.
 """
 
 from __future__ import annotations
 
 import threading
 import time
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 from deepvision_tpu.engine.kv_cache import PageAllocator
 
@@ -32,17 +41,38 @@ def _common_prefix_len(a: Sequence[int], b: Sequence[int]) -> int:
     return n
 
 
+class _Node:
+    __slots__ = ("tokens", "pages", "children", "parent", "last_used")
+
+    def __init__(self, tokens: tuple, pages: List[int],
+                 parent: Optional["_Node"]):
+        self.tokens = tokens          # edge label; multiple of page_size
+        self.pages = pages            # len == len(tokens) // page_size
+        self.children: dict = {}      # first token of child edge -> _Node
+        self.parent = parent
+        self.last_used = time.monotonic()
+
+
 class PrefixCache:
     def __init__(self, allocator: PageAllocator, page_size: int,
-                 max_entries: int = 64):
+                 max_pages: Optional[int] = None):
         self.alloc = allocator
         self.page_size = page_size
-        self.max_entries = max_entries
+        # cold cache must never crowd out live sequences: default cap is
+        # half the pool
+        self.max_pages = (max_pages if max_pages is not None
+                          else max(1, allocator.num_pages // 2))
         self._lock = threading.Lock()
-        self._entries: Dict[str, dict] = {}
+        self._root = _Node((), [], None)
+        self._cached_pages = 0
+        self._nodes = 0
         self.hits = 0
         self.misses = 0
         self.tokens_saved = 0
+
+    # ------------------------------------------------------------------
+    # Lookup
+    # ------------------------------------------------------------------
 
     def lookup(self, key: Optional[str],
                prompt_tokens: Sequence[int]) -> Tuple[int, List[int]]:
@@ -52,84 +82,161 @@ class PrefixCache:
         re-run to produce logits)."""
         if not key:
             return 0, []
+        ps = self.page_size
+        # the most we may share, page-aligned, leaving >=1 token to re-run
+        limit = ((len(prompt_tokens) - 1) // ps) * ps
+        if limit <= 0:
+            self.misses += 1
+            return 0, []
         with self._lock:
-            entry = self._entries.get(key)
-            if entry is None:
+            node = self._root
+            matched = 0
+            shared: List[int] = []
+            now = time.monotonic()
+            while matched < limit:
+                child = node.children.get(prompt_tokens[matched])
+                if child is None:
+                    break
+                m = _common_prefix_len(
+                    child.tokens, prompt_tokens[matched:limit]
+                )
+                full = (m // ps) * ps
+                if full > 0:
+                    shared.extend(child.pages[: full // ps])
+                    child.last_used = now
+                if full < len(child.tokens):
+                    break
+                matched += full
+                node = child
+            if not shared:
                 self.misses += 1
                 return 0, []
-            common = _common_prefix_len(entry["tokens"], prompt_tokens)
-            common = min(common, len(prompt_tokens) - 1)
-            n = (common // self.page_size) * self.page_size
-            if n <= 0:
-                self.misses += 1
-                return 0, []
-            pages = entry["pages"][: n // self.page_size]
-            self.alloc.share(pages)
-            entry["last_used"] = time.monotonic()
+            self.alloc.share(shared)
+            n = len(shared) * ps
             self.hits += 1
             self.tokens_saved += n
-            return n, list(pages)
+            return n, list(shared)
+
+    # ------------------------------------------------------------------
+    # Store
+    # ------------------------------------------------------------------
 
     def store(self, key: Optional[str], prompt_tokens: Sequence[int],
               pages: Sequence[int]) -> None:
-        """Cache the prompt's full pages (cache takes its own reference)."""
+        """Insert the prompt's full pages into the tree (the tree takes its
+        own reference on pages it newly adopts; already-cached chains keep
+        the existing pages so identical heads dedupe)."""
         if not key:
             return
-        n_full = len(prompt_tokens) // self.page_size
+        ps = self.page_size
+        n_full = len(prompt_tokens) // ps
         if n_full <= 0:
             return
-        keep = list(pages[:n_full])
+        tokens = tuple(prompt_tokens[: n_full * ps])
+        pages = list(pages[:n_full])
         with self._lock:
-            old = self._entries.pop(key, None)
-            if old is not None:
-                self.alloc.free(old["pages"])
-            if len(self._entries) >= self.max_entries:
-                lru_key = min(
-                    self._entries, key=lambda k:
-                    self._entries[k]["last_used"],
-                )
-                evicted = self._entries.pop(lru_key)
-                self.alloc.free(evicted["pages"])
-            self.alloc.share(keep)
-            self._entries[key] = {
-                "tokens": tuple(prompt_tokens[: n_full * self.page_size]),
-                "pages": keep,
-                "last_used": time.monotonic(),
-            }
+            node = self._root
+            i = 0
+            now = time.monotonic()
+            while i < len(tokens):
+                child = node.children.get(tokens[i])
+                if child is None:
+                    new_pages = pages[i // ps:]
+                    self.alloc.share(new_pages)
+                    leaf = _Node(tokens[i:], new_pages, node)
+                    node.children[tokens[i]] = leaf
+                    self._cached_pages += len(new_pages)
+                    self._nodes += 1
+                    break
+                m = _common_prefix_len(child.tokens, tokens[i:])
+                full = (m // ps) * ps
+                if full == 0:
+                    break  # divergence inside the first page: nothing to add
+                child.last_used = now
+                if full == len(child.tokens):
+                    i += full
+                    node = child
+                    continue
+                # split the edge at the page boundary `full`
+                upper = _Node(child.tokens[:full],
+                              child.pages[: full // ps], node)
+                upper.last_used = now
+                child.tokens = child.tokens[full:]
+                child.pages = child.pages[full // ps:]
+                child.parent = upper
+                upper.children[child.tokens[0]] = child
+                node.children[upper.tokens[0]] = upper
+                self._nodes += 1
+                i += full
+                node = upper
+                # next iteration either inserts the remainder under `upper`
+                # or terminates (i == len(tokens))
+            self._enforce_cap_locked()
 
-    def evict_lru(self, n_pages: int) -> int:
-        """Release least-recently-used entries until roughly ``n_pages``
-        of cache-held pages have been dropped (admission back-pressure:
-        a cold cache must never starve live requests of KV memory).
-        Returns the number of pages released."""
-        released = 0
-        with self._lock:
-            while self._entries and released < n_pages:
-                lru_key = min(
-                    self._entries,
-                    key=lambda k: self._entries[k]["last_used"],
-                )
-                entry = self._entries.pop(lru_key)
-                self.alloc.free(entry["pages"])
-                released += len(entry["pages"])
+    # ------------------------------------------------------------------
+    # Eviction
+    # ------------------------------------------------------------------
+
+    def _leaves(self) -> List[_Node]:
+        out = []
+        stack = [self._root]
+        while stack:
+            n = stack.pop()
+            kids = list(n.children.values())
+            if not kids and n is not self._root:
+                out.append(n)
+            stack.extend(kids)
+        return out
+
+    def _drop_leaf_locked(self, leaf: _Node) -> int:
+        self.alloc.free(leaf.pages)
+        released = len(leaf.pages)
+        self._cached_pages -= released
+        self._nodes -= 1
+        parent = leaf.parent
+        if parent is not None:
+            parent.children.pop(leaf.tokens[0], None)
         return released
 
-    def evict(self, key: str) -> None:
+    def _evict_lru_locked(self, n_pages: int) -> int:
+        released = 0
+        while released < n_pages:
+            leaves = self._leaves()
+            if not leaves:
+                break
+            leaf = min(leaves, key=lambda n: n.last_used)
+            released += self._drop_leaf_locked(leaf)
+        return released
+
+    def _enforce_cap_locked(self) -> None:
+        if self._cached_pages > self.max_pages:
+            self._evict_lru_locked(self._cached_pages - self.max_pages)
+
+    def evict_lru(self, n_pages: int) -> int:
+        """Release least-recently-used leaf chains until roughly
+        ``n_pages`` of cache-held pages have been dropped (admission
+        back-pressure: a cold cache must never starve live requests of KV
+        memory).  Returns the number of pages released."""
         with self._lock:
-            entry = self._entries.pop(key, None)
-            if entry is not None:
-                self.alloc.free(entry["pages"])
+            return self._evict_lru_locked(n_pages)
 
     def clear(self) -> None:
         with self._lock:
-            for entry in self._entries.values():
-                self.alloc.free(entry["pages"])
-            self._entries.clear()
+            stack = [self._root]
+            while stack:
+                n = stack.pop()
+                stack.extend(n.children.values())
+                if n is not self._root:
+                    self.alloc.free(n.pages)
+            self._root = _Node((), [], None)
+            self._cached_pages = 0
+            self._nodes = 0
 
     def stats(self) -> dict:
         with self._lock:
             return {
-                "entries": len(self._entries),
+                "entries": self._nodes,
+                "pages": self._cached_pages,
                 "hits": self.hits,
                 "misses": self.misses,
                 "tokens_saved": self.tokens_saved,

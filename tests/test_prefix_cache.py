@@ -55,7 +55,7 @@ def test_prefix_cache_refcounting():
     assert alloc.available() == avail_after_alloc + 1  # only partial page
     n, shared = cache.lookup("k", tokens + [99])
     assert n == 8 and len(shared) == 2
-    cache.evict("k")
+    cache.clear()
     alloc.free(shared)
     assert alloc.available() == 31  # all pages back (page 0 reserved)
 
@@ -85,3 +85,68 @@ def test_prefix_never_shares_whole_prompt():
     n, shared = cache.lookup("k", tokens)
     assert n == 4  # not 8
     alloc.free(shared)
+
+
+def test_radix_cross_key_sharing():
+    """The round-2 radix tree: a prompt head cached under one session key
+    is hit by a DIFFERENT session whose prompt starts with the same
+    tokens (cross-session scenario/doc-head reuse)."""
+    alloc = PageAllocator(num_pages=64)
+    cache = PrefixCache(alloc, page_size=4)
+    head = [7, 7, 7, 7, 8, 8, 8, 8]          # two full pages
+    tokens_a = head + [1, 2, 3]
+    pages_a = alloc.alloc(3)
+    cache.store("sess-a", tokens_a, pages_a)
+    # different key, same head, different tail
+    n, shared = cache.lookup("sess-b", head + [9, 9, 9, 9, 5])
+    assert n == 8 and shared == pages_a[:2]
+    alloc.free(shared)
+
+
+def test_radix_edge_split_and_dedupe():
+    alloc = PageAllocator(num_pages=64)
+    cache = PrefixCache(alloc, page_size=2)
+    a = [1, 2, 3, 4, 5, 6]                    # 3 pages
+    pa = alloc.alloc(3)
+    cache.store("k1", a, pa)
+    pages_before = cache.stats()["pages"]
+    # same chain again with fresh pages: must dedupe (no new cached pages)
+    pb = alloc.alloc(3)
+    cache.store("k2", a, pb)
+    assert cache.stats()["pages"] == pages_before
+    alloc.free(pb)
+    # divergent at token 4 (page boundary 4): splits the edge
+    c = [1, 2, 3, 4, 9, 9]
+    pc = alloc.alloc(3)
+    cache.store("k3", c, pc)
+    n, shared = cache.lookup("k4", [1, 2, 3, 4, 9, 9, 0])
+    assert n == 6 and len(shared) == 3
+    assert shared[:2] == pa[:2] and shared[2] == pc[2]
+    alloc.free(shared)
+    alloc.free(pc)
+    alloc.free(pa)
+
+
+def test_radix_page_cap_evicts_lru():
+    alloc = PageAllocator(num_pages=64)
+    cache = PrefixCache(alloc, page_size=2, max_pages=4)
+    p1 = alloc.alloc(3)
+    cache.store("k1", [1, 1, 1, 1, 1, 1], p1)
+    p2 = alloc.alloc(3)
+    cache.store("k2", [2, 2, 2, 2, 2, 2], p2)
+    assert cache.stats()["pages"] <= 4
+    alloc.free(p1)
+    alloc.free(p2)
+    cache.clear()
+    assert alloc.available() == 63
+
+
+def test_prefix_key_none_bypasses():
+    alloc = PageAllocator(num_pages=16)
+    cache = PrefixCache(alloc, page_size=2)
+    p = alloc.alloc(2)
+    cache.store(None, [1, 2, 3, 4], p)
+    assert cache.stats()["pages"] == 0
+    n, shared = cache.lookup(None, [1, 2, 3, 4, 5])
+    assert n == 0 and shared == []
+    alloc.free(p)
