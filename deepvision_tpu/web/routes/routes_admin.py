@@ -8,22 +8,14 @@ from deepvision_tpu.web.http import HTTPError
 from deepvision_tpu.web.licensing import LicenseError
 from deepvision_tpu.web.ownership import OwnershipMigrationService
 
-# Config-center groups: the admin-editable key directory
-# (reference _admin_setting descriptors web/server.py:2755-3289).
-CONFIG_GROUPS = {
-    "ai": ["ENABLE_AI", "AI_MODE", "QUESTION_MODEL_NAME",
-           "REPORT_DRAFT_MODEL_NAME", "REPORT_REVIEW_MODEL_NAME",
-           "ENGINE_MAX_SLOTS", "ENGINE_DECODE_STEPS_PER_CALL"],
-    "performance": ["QUESTION_MAX_INFLIGHT", "QUESTION_MAX_PENDING",
-                    "REPORT_GENERATION_MAX_WORKERS",
-                    "REPORT_GENERATION_MAX_PENDING",
-                    "LIST_API_DEFAULT_PAGE_SIZE", "LIST_API_MAX_PAGE_SIZE"],
-    "auth": ["SMS_PROVIDER", "SMS_TEST_CODE", "ADMIN_PHONE_NUMBERS",
-             "LICENSE_ENFORCEMENT_ENABLED"],
-    "context": ["CONTEXT_WINDOW_SIZE", "SUMMARY_THRESHOLD",
-                "MAX_DOC_LENGTH", "MAX_TOTAL_DOCS"],
-    "search": ["WEB_SEARCH_ENABLED", "WEB_SEARCH_MCP_URL"],
-}
+# Config-center key directory: derived from the typed setting descriptors
+# (reference _admin_setting descriptors web/server.py:2755-3289; depth now
+# lives in deepvision_tpu/web/config_center.py).
+from deepvision_tpu.web import config_center
+
+CONFIG_GROUPS: dict = {}
+for _desc in config_center.DESCRIPTORS:
+    CONFIG_GROUPS.setdefault(_desc.group, []).append(_desc.key)
 
 
 def register(app, state):
@@ -292,20 +284,8 @@ def register(app, state):
     def config_center_get(req):
         require_admin(state, req)
         runtime = state.resolver.runtime_snapshot()
-        groups = {}
-        for group, keys in CONFIG_GROUPS.items():
-            groups[group] = [
-                {
-                    "key": key,
-                    "current_value": state.resolver.get(key),
-                    "runtime_override": key in runtime,
-                    "sensitive": "SECRET" in key or "KEY" in key.upper()
-                    and "PAGE" not in key,
-                }
-                for key in keys
-            ]
         return {
-            "groups": groups,
+            "groups": config_center.grouped_payload(state.resolver, runtime),
             "resolution_mode": state.resolver.mode,
             "env_files": state.resolver.loaded_files,
         }
@@ -313,17 +293,46 @@ def register(app, state):
     @app.route("/api/admin/config-center/save", methods=["POST"])
     def config_center_save(req):
         require_admin(state, req)
-        updates = req.get_json().get("updates") or {}
-        allowed = {k for keys in CONFIG_GROUPS.values() for k in keys}
-        applied = {}
-        for key, value in updates.items():
-            if key not in allowed:
-                continue
-            state.resolver.set_runtime(key, value)
-            state.meta.site_config_set(f"cfg:{key}", value)
-            applied[key] = value
+        body = req.get_json()
+        updates = body.get("updates") or {}
+        result = config_center.apply_updates(
+            state.resolver, state.meta, updates
+        )
+        persisted = []
+        if body.get("persist") == "env_file" and result["applied"]:
+            # write the RAW validated values (masking is payload-only)
+            raw = {}
+            for key in result["applied"]:
+                raw[key] = config_center.coerce(
+                    config_center.BY_KEY[key], updates[key]
+                )
+            import os as _os
+
+            env_path = state.resolver.loaded_files[0] if (
+                state.resolver.loaded_files
+            ) else _os.path.join(state.data_dir, ".env")
+            persisted = config_center.write_env_file(env_path, raw)
         return {
-            "ok": True,
-            "applied": applied,
+            "ok": not result["errors"],
+            "applied": result["applied"],
+            "errors": result["errors"],
+            "restart_required": result["restart_required"],
+            "persisted_to_env": persisted,
             "note": "部分配置需要重启后完全生效",
         }
+
+    @app.route("/api/admin/config-center/site-config", methods=["POST"])
+    def config_center_site_config(req):
+        """Regenerate the frontend's site-config.js from current values
+        (reference site-config writer web/server.py:3741-3848)."""
+        require_admin(state, req)
+        import os as _os
+
+        values = {
+            d.key: state.resolver.get(d.key)
+            for d in config_center.DESCRIPTORS
+            if not d.sensitive
+        }
+        path = _os.path.join(state.data_dir, "site-config.js")
+        config_center.write_site_config_js(path, values)
+        return {"ok": True, "path": path, "keys": len(values)}

@@ -81,6 +81,14 @@ class AppState:
             self.data_dir, "meta_index.sqlite3"
         )
         self.meta = MetaIndex(cfg.get_str("DATABASE_URL") or meta_path)
+        # re-apply persisted admin config-center overrides (they must NOT
+        # outrank explicit process overrides passed to this constructor)
+        from deepvision_tpu.web import config_center as _config_center
+
+        _config_center.restore_runtime_overrides(
+            self.resolver, self.meta,
+            skip=set(overrides or ()) | set(self.resolver.runtime_snapshot()),
+        )
         use_db_payload = bool(cfg.get_str("DATABASE_URL"))
         self.sessions = SessionStore(self.data_dir, self.meta,
                                      use_db_payload=use_db_payload)

@@ -246,3 +246,145 @@ def test_version_manager_lifecycle(tmp_path, monkeypatch):
     (tmp_path / "unreleased" / "bad.json").write_text(
         '{"kind": "nope", "summary": ""}', encoding="utf-8")
     assert vm.cmd_validate(A()) == 1
+
+
+# ---------------------------------------------------------------------------
+# session_manager / report_generator / convert_doc CLI workflows
+# ---------------------------------------------------------------------------
+
+@pytest.fixture()
+def seeded_data_dir():
+    """A data dir with two sessions written through the real store (index
+    rows present) — what the ops CLIs operate against."""
+    tmp = tempfile.TemporaryDirectory()
+    sys.path.insert(0, ROOT)
+    from deepvision_tpu.web.meta_index import MetaIndex
+    from deepvision_tpu.web.stores import SessionStore
+
+    meta = MetaIndex(os.path.join(tmp.name, "meta_index.sqlite3"))
+    store = SessionStore(tmp.name, meta)
+    for i, status in enumerate(["completed", "in_progress"]):
+        store.save({
+            "session_id": f"dv-2026010100000{i}-feed000{i}",
+            "topic": f"CLI测试主题{i}",
+            "status": status,
+            "instance_scope": "default",
+            "owner_user_id": "u1",
+            "interview_mode": "standard",
+            "scenario_id": "product-requirement",
+            "created_at": "2026-01-01T00:00:00Z",
+            "updated_at": "2026-01-01T00:00:00Z",
+            "interview_log": [
+                {"question": "现状如何？", "answer": "高峰期单据积压严重，"
+                 "主要卡在审批环节", "dimension": "d1",
+                 "quality_score": 0.8},
+                {"question": "目标是什么？", "answer": "两小时内处理完",
+                 "dimension": "d1", "quality_score": 0.5},
+            ],
+            "dimensions": {"d1": {"coverage": 1.0}},
+            "reference_materials": [],
+        })
+    yield tmp.name
+    tmp.cleanup()
+
+
+def test_session_manager_stats_and_search(seeded_data_dir):
+    r = run_script("session_manager.py", "--data-dir", seeded_data_dir,
+                   "stats")
+    assert r.returncode == 0, r.stderr
+    stats = json.loads(r.stdout)
+    assert stats["sessions"] == 2 and stats["answers"] == 4
+    assert stats["by_status"] == {"completed": 1, "in_progress": 1}
+    assert stats["answer_quality"]["high"] == 2
+
+    r = run_script("session_manager.py", "--data-dir", seeded_data_dir,
+                   "search", "审批环节")
+    assert r.returncode == 0
+    assert "dv-20260101000000-feed0000" in r.stdout
+
+
+def test_session_manager_repair_rebuilds_index(seeded_data_dir):
+    from deepvision_tpu.web.meta_index import MetaIndex
+
+    meta = MetaIndex(os.path.join(seeded_data_dir, "meta_index.sqlite3"))
+    # simulate index drift: drop one row, add one orphan
+    meta.execute("DELETE FROM session_index WHERE session_id = ?",
+                 ("dv-20260101000000-feed0000",))
+    meta.execute(
+        "INSERT INTO session_index (session_id, instance_scope, topic, "
+        "status, updated_at, created_at) VALUES (?, 'default', 'x', "
+        "'completed', '2026-01-01T00:00:00Z', '2026-01-01T00:00:00Z')",
+        ("dv-ghost",))
+    r = run_script("session_manager.py", "--data-dir", seeded_data_dir,
+                   "repair", "--dry-run")
+    assert "would reindex dv-20260101000000-feed0000" in r.stdout
+    assert "would drop orphan index row dv-ghost" in r.stdout
+    r = run_script("session_manager.py", "--data-dir", seeded_data_dir,
+                   "repair")
+    assert r.returncode == 0, r.stderr
+    meta2 = MetaIndex(os.path.join(seeded_data_dir, "meta_index.sqlite3"))
+    rows = meta2.query("SELECT session_id FROM session_index")
+    ids = {row["session_id"] for row in rows}
+    assert "dv-ghost" not in ids
+    assert "dv-20260101000000-feed0000" in ids
+
+
+def test_session_manager_trim(seeded_data_dir):
+    r = run_script("session_manager.py", "--data-dir", seeded_data_dir,
+                   "trim", "--days", "0")
+    assert "would delete" in r.stdout  # dry-run by default
+    r = run_script("session_manager.py", "--data-dir", seeded_data_dir,
+                   "trim", "--days", "0", "--apply")
+    assert r.returncode == 0
+    # only the completed session is purged; a backup was taken first
+    assert os.path.isdir(os.path.join(seeded_data_dir, "session_backups"))
+    r = run_script("session_manager.py", "--data-dir", seeded_data_dir,
+                   "stats")
+    assert json.loads(r.stdout)["sessions"] == 1
+
+
+def test_report_generator_batch_and_readiness(seeded_data_dir):
+    r = run_script("report_generator.py", "--data-dir", seeded_data_dir,
+                   "readiness", "--all")
+    assert r.returncode == 0, r.stderr
+    assert "READY" in r.stdout
+    r = run_script("report_generator.py", "--data-dir", seeded_data_dir,
+                   "generate", "--all", "--status", "completed",
+                   "--workers", "2")
+    assert r.returncode == 0, r.stderr
+    assert "reports/min" in r.stdout
+    # report bound back to the session
+    from deepvision_tpu.web.meta_index import MetaIndex
+    from deepvision_tpu.web.stores import SessionStore
+
+    meta = MetaIndex(os.path.join(seeded_data_dir, "meta_index.sqlite3"))
+    store = SessionStore(seeded_data_dir, meta)
+    s = store.load("dv-20260101000000-feed0000")
+    assert s["last_report_name"]
+    assert s["last_report_quality_meta"]
+
+
+def test_convert_doc_inspect_and_batch(tmp_path):
+    src = tmp_path / "docs"
+    out = tmp_path / "out"
+    cache = tmp_path / "cache"
+    src.mkdir()
+    (src / "a.md").write_text("# 标题\n\n正文" * 50, encoding="utf-8")
+    (src / "b.txt").write_text("纯文本内容\n" * 100, encoding="utf-8")
+    (src / "skip.bin").write_bytes(b"\x00\x01")
+
+    r = run_script("convert_doc.py", "inspect", str(src / "a.md"))
+    assert r.returncode == 0, r.stderr
+    info = json.loads(r.stdout)
+    assert info["type"] == "md" and info["supported"] and info["chars"] > 100
+
+    r = run_script("convert_doc.py", "batch", str(src), str(out),
+                   "--cache-dir", str(cache))
+    assert r.returncode == 0, r.stderr
+    stats = json.loads(r.stdout)
+    assert stats["files"] == 2 and stats["failed"] == 0
+    assert (out / "a.md").exists() and (out / "b.md").exists()
+    # second run: everything served from the sha256 cache
+    r = run_script("convert_doc.py", "batch", str(src), str(out),
+                   "--cache-dir", str(cache))
+    assert json.loads(r.stdout)["cache_hits"] == 2
