@@ -12,6 +12,7 @@ def register(app, state):
 
     @app.route("/api/scenarios")
     def list_scenarios(req):
+        require_user(state, req)
         items = state.scenarios.list_all(state.instance_scope)
         return [
             {k: v for k, v in sc.items() if k != "report"} | {
@@ -22,6 +23,7 @@ def register(app, state):
 
     @app.route("/api/scenarios/<scenario_id>")
     def get_scenario(req, scenario_id):
+        require_user(state, req)
         sc = state.scenarios.get(scenario_id, state.instance_scope)
         if sc is None:
             raise HTTPError(404, {"error": "场景不存在"})
@@ -70,6 +72,7 @@ def register(app, state):
 
     @app.route("/api/scenarios/recognize", methods=["POST"])
     def recognize(req):
+        require_user(state, req)
         text = (req.get_json().get("text") or "").strip()
         if not text:
             raise HTTPError(400, {"error": "缺少描述文本"})
@@ -78,6 +81,7 @@ def register(app, state):
     # --- report templates (reference :27058-27259) ----------------------
     @app.route("/api/report-templates/validate", methods=["POST"])
     def validate_template(req):
+        require_user(state, req)
         payload = req.get_json()
         sections = payload.get("sections")
         problems = []
@@ -94,6 +98,7 @@ def register(app, state):
 
     @app.route("/api/report-templates/preview", methods=["POST"])
     def preview_template(req):
+        require_user(state, req)
         payload = req.get_json()
         sections = payload.get("sections") or []
         lines = [f"# {payload.get('title', '报告预览')}", ""]

@@ -79,6 +79,9 @@ def test_anonymous_writes_blocked(client):
 
 
 def test_scenarios_listing(client):
+    # scenario routes are part of the protected /api surface
+    assert client.get("/api/scenarios").status_code == 401
+    login(client)
     data = client.get("/api/scenarios").get_json()
     ids = {s["id"] for s in data}
     assert {"product-requirement", "tech-solution", "bidding-tendering",
@@ -90,6 +93,7 @@ def test_scenarios_listing(client):
 
 
 def test_scenario_recognition(client):
+    login(client)
     r = client.post("/api/scenarios/recognize",
                     json_body={"text": "我们要做一个产品需求 PRD 梳理"})
     matches = r.get_json()["matches"]
