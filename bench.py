@@ -1,9 +1,10 @@
 #!/usr/bin/env python
 """Headline benchmark for the TPU serving stack.
 
-Three measured workloads against the REAL flagship checkpoint (dv-mini,
-trained on-TPU by scripts/train_dv_mini.py, BPE tokenizer, grammar-
-constrained JSON decoding — the exact production serving path):
+Three measured workloads against the REAL flagship checkpoint (the best
+in-repo model trained on-TPU by scripts/train_model.py — dv-base 88M,
+falling back to dv-mini 21M — BPE tokenizer, grammar-constrained JSON
+decoding — the exact production serving path):
 
 1. question lane: 64 concurrent interview sessions x 2 questions each
    (~2.2k-char prompts, ~120-token completions) -> TTFT p50/p95, req/min
@@ -18,6 +19,7 @@ diagnostics.  vs_baseline = 1500 ms / p50 TTFT (>1 is faster than target).
 
 import io
 import json
+import os
 import statistics
 import sys
 import threading
@@ -152,11 +154,20 @@ def main():
 
     from deepvision_tpu.engine.engine import EngineConfig, LLMEngine
 
+    # flagship = best in-repo trained checkpoint (same resolution as the
+    # server's zero-config engine mode)
+    flagship, flagship_tok = "dv-1b", "byte"
+    for m, tok in (("dv-base", "resources/tokenizer/dv_bpe_16k.json"),
+                   ("dv-mini", "resources/tokenizer/dv_bpe_8k.json")):
+        if os.path.isfile(f"resources/checkpoints/{m}.npz"):
+            flagship, flagship_tok = m, tok
+            break
+
     if on_tpu:
         eng_cfg = EngineConfig(
-            model="dv-mini",
-            tokenizer="resources/tokenizer/dv_bpe_8k.json",
-            checkpoint_dir="resources/checkpoints/dv-mini.npz",
+            model=flagship,
+            tokenizer=flagship_tok,
+            checkpoint_dir=f"resources/checkpoints/{flagship}.npz",
             max_slots=32,
             num_pages=3072,
             page_size=64,

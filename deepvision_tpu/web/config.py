@@ -8,12 +8,13 @@ are re-pointed at local engine settings instead of remote endpoints).
 # --- AI / engine (replaces ANTHROPIC_* remote gateway keys) ---------------
 ENABLE_AI = True
 AI_MODE = "template"            # template | engine | off
-# dv-mini is the in-repo REAL checkpoint (trained on TPU by
-# scripts/train_dv_mini.py); "auto" tokenizer pairs it with its BPE vocab.
-QUESTION_MODEL_NAME = "dv-mini"
-REPORT_MODEL_NAME = "dv-mini"
-REPORT_DRAFT_MODEL_NAME = "dv-mini"
-REPORT_REVIEW_MODEL_NAME = "dv-mini"
+# "auto" resolves to the best in-repo REAL checkpoint (dv-base, falling
+# back to dv-mini — both trained on TPU by scripts/train_model.py); the
+# "auto" tokenizer pairs each model with the BPE vocab it was trained on.
+QUESTION_MODEL_NAME = "auto"
+REPORT_MODEL_NAME = "auto"
+REPORT_DRAFT_MODEL_NAME = "auto"
+REPORT_REVIEW_MODEL_NAME = "auto"
 ENGINE_TOKENIZER = "auto"
 ENGINE_CHECKPOINT_DIR = ""
 ENGINE_MAX_SLOTS = 32  # dv-mini KV is small; 32 slots halves queue waits

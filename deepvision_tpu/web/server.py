@@ -215,31 +215,37 @@ class AppState:
             from deepvision_tpu.engine.engine import EngineConfig, LLMEngine
             from deepvision_tpu.engine.lanes import DEFAULT_LANES
 
-            # In-repo real artifacts (trained by scripts/train_dv_mini.py)
-            # are the zero-config default: dv-mini + its BPE tokenizer.
+            # In-repo real artifacts (trained by scripts/train_model.py)
+            # are the zero-config default: the best available trained
+            # checkpoint + the BPE tokenizer it was trained on.
             res = os.path.join(
                 os.path.dirname(os.path.dirname(
                     os.path.dirname(os.path.abspath(__file__)))),
                 "resources",
             )
-            bpe = os.path.join(res, "tokenizer", "dv_bpe_8k.json")
-            default_model = (
-                "dv-mini"
-                if os.path.isfile(os.path.join(res, "checkpoints",
-                                               "dv-mini.npz"))
-                else "dv-1b"
-            )
+            # each trained preset pairs with the vocab it was trained on
+            tokenizer_by_model = {
+                "dv-base": os.path.join(res, "tokenizer",
+                                        "dv_bpe_16k.json"),
+                "dv-mini": os.path.join(res, "tokenizer", "dv_bpe_8k.json"),
+            }
 
             def default_ckpt(model_name: str) -> Optional[str]:
                 p = os.path.join(res, "checkpoints", f"{model_name}.npz")
                 return p if os.path.isfile(p) else None
 
+            default_model = next(
+                (m for m in ("dv-base", "dv-mini") if default_ckpt(m)),
+                "dv-1b",
+            )
+
             def engine_cfg(model_name: str) -> EngineConfig:
                 tok = cfg.get_str("ENGINE_TOKENIZER", "auto")
                 if tok in ("", "auto"):
                     # the BPE vocab only pairs with models trained on it
-                    tok = (bpe if model_name == "dv-mini"
-                           and os.path.isfile(bpe) else "byte")
+                    paired = tokenizer_by_model.get(model_name)
+                    tok = (paired if paired and os.path.isfile(paired)
+                           else "byte")
                 return EngineConfig(
                     model=model_name,
                     tokenizer=tok,
@@ -267,19 +273,21 @@ class AppState:
             # the same chip (reference ran 8 remote lanes with independent
             # models, web/.env.example:36-84; memory plan is the
             # deployer's job via ENGINE_NUM_PAGES).
+            def lane_model(key: str) -> str:
+                # "auto" / empty resolves to the best in-repo checkpoint
+                name = cfg.get_str(key, "auto")
+                return default_model if name in ("", "auto") else name
+
             lane_models = {
-                "question": cfg.get_str("QUESTION_MODEL_NAME", default_model),
-                "question_fast": cfg.get_str("QUESTION_MODEL_NAME", default_model),
-                "question_deep": cfg.get_str("QUESTION_MODEL_NAME", default_model),
-                "report": cfg.get_str("REPORT_MODEL_NAME", default_model),
-                "report_draft": cfg.get_str(
-                    "REPORT_DRAFT_MODEL_NAME", default_model),
-                "report_review": cfg.get_str(
-                    "REPORT_REVIEW_MODEL_NAME", default_model),
-                "summary": cfg.get_str("QUESTION_MODEL_NAME", default_model),
-                "search_decision": cfg.get_str(
-                    "QUESTION_MODEL_NAME", default_model),
-                "assessment": cfg.get_str("QUESTION_MODEL_NAME", default_model),
+                "question": lane_model("QUESTION_MODEL_NAME"),
+                "question_fast": lane_model("QUESTION_MODEL_NAME"),
+                "question_deep": lane_model("QUESTION_MODEL_NAME"),
+                "report": lane_model("REPORT_MODEL_NAME"),
+                "report_draft": lane_model("REPORT_DRAFT_MODEL_NAME"),
+                "report_review": lane_model("REPORT_REVIEW_MODEL_NAME"),
+                "summary": lane_model("QUESTION_MODEL_NAME"),
+                "search_decision": lane_model("QUESTION_MODEL_NAME"),
+                "assessment": lane_model("QUESTION_MODEL_NAME"),
             }
             n_replicas = max(1, cfg.get_int("ENGINE_REPLICAS", 1))
             remote_urls = [

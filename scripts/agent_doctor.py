@@ -71,12 +71,32 @@ def _package_checks(check):
     check("native lib", native)
 
 
+def _resolve_flagship() -> str:
+    """Resolve 'auto' the same way the server's gateway does: the best
+    in-repo trained checkpoint."""
+    from deepvision_tpu.web import config as cfg
+
+    name = cfg.QUESTION_MODEL_NAME
+    if name in ("", "auto"):
+        for m in ("dv-base", "dv-mini"):
+            if os.path.isfile(os.path.join(
+                    ROOT, "resources", "checkpoints", f"{m}.npz")):
+                return m
+        return "dv-1b"
+    return name
+
+
+_TOKENIZER_BY_MODEL = {
+    "dv-base": "dv_bpe_16k.json",
+    "dv-mini": "dv_bpe_8k.json",
+}
+
+
 def _model_checks(check):
     def flagship():
         from deepvision_tpu.engine.config import get_model_config
-        from deepvision_tpu.web import config as cfg
 
-        name = cfg.QUESTION_MODEL_NAME
+        name = _resolve_flagship()
         get_model_config(name)  # raises on unknown preset
         return name
 
@@ -85,22 +105,22 @@ def _model_checks(check):
     def tokenizer():
         from deepvision_tpu.web import config as cfg
 
-        if cfg.ENGINE_TOKENIZER not in ("auto", "byte"):
+        name = _resolve_flagship()
+        if cfg.ENGINE_TOKENIZER not in ("auto", "byte", ""):
             path = cfg.ENGINE_TOKENIZER
         else:
-            path = None
-            for fn in sorted(os.listdir(
-                    os.path.join(ROOT, "resources", "tokenizer"))):
-                if fn.endswith(".json"):
-                    path = os.path.join(ROOT, "resources", "tokenizer", fn)
-        assert path and os.path.isfile(path), "no tokenizer resource"
+            fn = _TOKENIZER_BY_MODEL.get(name)
+            path = (os.path.join(ROOT, "resources", "tokenizer", fn)
+                    if fn else None)
+        if path is None:
+            return "byte tokenizer (no BPE pairing)"
+        assert os.path.isfile(path), f"missing tokenizer {path}"
         from tokenizers import Tokenizer
 
         tok = Tokenizer.from_file(path)
         from deepvision_tpu.engine.config import get_model_config
-        from deepvision_tpu.web import config as cfg2
 
-        preset = get_model_config(cfg2.QUESTION_MODEL_NAME)
+        preset = get_model_config(name)
         assert tok.get_vocab_size() <= preset.vocab_size, (
             f"tokenizer vocab {tok.get_vocab_size()} exceeds preset "
             f"{preset.vocab_size}")

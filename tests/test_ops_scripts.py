@@ -388,3 +388,42 @@ def test_convert_doc_inspect_and_batch(tmp_path):
     r = run_script("convert_doc.py", "batch", str(src), str(out),
                    "--cache-dir", str(cache))
     assert json.loads(r.stdout)["cache_hits"] == 2
+
+
+def test_identity_audit_finds_and_fixes(seeded_data_dir):
+    from deepvision_tpu.web.meta_index import MetaIndex
+
+    meta = MetaIndex(os.path.join(seeded_data_dir, "meta_index.sqlite3"))
+    # inject: missing scope + cross-owner report binding + dangling share
+    meta.execute(
+        "UPDATE session_index SET instance_scope = '' WHERE session_id = ?",
+        ("dv-20260101000000-feed0000",))
+    meta.execute(
+        "INSERT INTO report_index (report_name, owner_user_id, "
+        "instance_scope, session_id, deleted, created_at) VALUES "
+        "(?, 'u2', 'default', 'dv-20260101000001-feed0001', 0, "
+        "'2026-01-01T00:00:00Z')", ("审计-r1.md",))
+    meta.execute(
+        "INSERT INTO report_meta_shares (report_name, share_token, "
+        "created_at) VALUES (?, 'tok12345', '2026-01-01T00:00:00Z')",
+        ("不存在的报告.md",))
+
+    r = run_script("audit_identity_isolation.py", "--data-dir",
+                   seeded_data_dir, "--json")
+    assert r.returncode == 1, r.stdout + r.stderr
+    payload = json.loads(r.stdout)
+    kinds = {p["kind"] for p in payload["problems"]}
+    assert "session_missing_scope" in kinds
+    assert "binding_cross_owner" in kinds
+    assert "share_to_missing_report" in kinds
+
+    # --apply stamps the missing scope (and only that)
+    r = run_script("audit_identity_isolation.py", "--data-dir",
+                   seeded_data_dir, "--apply", "--json")
+    payload = json.loads(r.stdout)
+    assert payload["fixes_applied"] == 1
+    meta2 = MetaIndex(os.path.join(seeded_data_dir, "meta_index.sqlite3"))
+    row = meta2.query_one(
+        "SELECT instance_scope FROM session_index WHERE session_id = ?",
+        ("dv-20260101000000-feed0000",))
+    assert row["instance_scope"] == "default"
