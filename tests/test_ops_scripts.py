@@ -427,3 +427,54 @@ def test_identity_audit_finds_and_fixes(seeded_data_dir):
         "SELECT instance_scope FROM session_index WHERE session_id = ?",
         ("dv-20260101000000-feed0000",))
     assert row["instance_scope"] == "default"
+
+
+def test_auth_migration_rehearsal_and_verify(tmp_path):
+    """sqlite->sqlite rehearsal of the auth migration: copy, verify
+    checksums, idempotent re-run (conflicts skipped, not duplicated)."""
+    import sqlite3
+
+    sys.path.insert(0, ROOT)
+    from deepvision_tpu.web.authn import AUTH_SCHEMA, hash_code
+
+    src_path = str(tmp_path / "auth_src.sqlite3")
+    dst_path = str(tmp_path / "auth_dst.sqlite3")
+    conn = sqlite3.connect(src_path)
+    for ddl in AUTH_SCHEMA:
+        conn.execute(ddl)
+    conn.execute(
+        "INSERT INTO users (phone, nickname, level, is_admin, created_at) "
+        "VALUES ('13800000001', '管理员', 'professional', 1, "
+        "'2026-01-01T00:00:00Z')")
+    conn.execute(
+        "INSERT INTO users (phone, nickname, level, created_at) "
+        "VALUES ('13900000002', '普通用户', 'standard', "
+        "'2026-01-01T00:00:00Z')")
+    conn.execute(
+        "INSERT INTO wechat_identities (openid, user_id, bound_at) "
+        "VALUES ('wx-open-1', 1, '2026-01-01T00:00:00Z')")
+    conn.execute(
+        "INSERT INTO auth_meta (key, value) VALUES ('license_secret', 's')")
+    conn.execute(
+        "INSERT INTO auth_sms_codes (phone, code_hash, created_at, "
+        "expires_at) VALUES ('13800000001', ?, 0, 0)",
+        (hash_code("13800000001", "123456"),))
+    conn.commit()
+    conn.close()
+
+    r = run_script("migrate_auth_sqlite_to_postgres.py", src_path, dst_path,
+                   "--allow-sqlite-target", "--verify")
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "verify OK" in r.stdout
+    assert "users: 2 rows (+2 inserted, 0 skipped)" in r.stdout
+
+    # idempotent re-run: unique keys skip, nothing duplicated
+    r = run_script("migrate_auth_sqlite_to_postgres.py", src_path, dst_path,
+                   "--allow-sqlite-target", "--tables",
+                   "users,wechat_identities,auth_meta", "--verify")
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "users: 2 rows (+0 inserted, 2 skipped)" in r.stdout
+
+    dst = sqlite3.connect(dst_path)
+    n = dst.execute("SELECT COUNT(*) FROM users").fetchone()[0]
+    assert n == 2
