@@ -43,6 +43,11 @@ class EngineConfig:
     prefill_batch_max: int = 4
     strict_priority: bool = False
     decode_steps_per_call: int = 1
+    # chain up to N fused decode calls, dispatching the next from
+    # device-resident state before the previous readback (hides the
+    # ~28 ms tunneled host-sync per call); requires decode_steps > 1
+    pipeline_decode: bool = False
+    max_chained_decodes: int = 4
     chunked_prefill: bool = False
     prefill_chunk_size: int = 256
     seed: int = 0
@@ -149,6 +154,8 @@ class LLMEngine:
             decode_steps_per_call=cfg.decode_steps_per_call,
             dfa=self.json_dfa,
             prefill_batch_max=cfg.prefill_batch_max,
+            pipeline_decode=cfg.pipeline_decode,
+            max_chained_decodes=cfg.max_chained_decodes,
         )
         self._started = False
         self._start_lock = threading.Lock()

@@ -186,10 +186,12 @@ class ModelRunner:
                 return (new, lens + 1, nstates, cache), new
 
             rngs = jax.random.split(rng, n_steps)
-            (_, _, _, cache), out = jax.lax.scan(
+            (last_toks, _, last_states, cache), out = jax.lax.scan(
                 body, (tokens, seq_lens, dstates, cache), rngs
             )
-            return out, cache  # out: [n_steps, B]
+            # final carry rides along so a chained (pipelined) decode call
+            # can start from device-resident state without a host sync
+            return (out, last_toks, last_states), cache  # out: [n_steps, B]
 
         wrapped = self._wrap(step, 9)
         return jax.jit(wrapped, donate_argnums=(1,))
@@ -388,19 +390,48 @@ class ModelRunner:
     ) -> np.ndarray:
         """Run ``n_steps`` fused decode steps; returns ``[n_steps, B]``
         sampled tokens (callers discard post-EOS tail tokens)."""
+        tok, _last_tok, _last_state = self.decode_async(
+            tokens, seq_lens, block_tables, temperature, top_k, top_p,
+            n_steps=n_steps, dfa_states=dfa_states,
+        )
+        return np.asarray(tok)
+
+    def decode_async(
+        self,
+        tokens,                    # [B] int32 (numpy OR device array)
+        seq_lens: np.ndarray,      # [B] int32 incl. current token
+        block_tables: np.ndarray,  # [B, MAX_PAGES] int32
+        temperature: np.ndarray,
+        top_k: np.ndarray,
+        top_p: np.ndarray,
+        n_steps: int = 1,
+        dfa_states=None,           # [B] int32 (numpy OR device array)
+    ):
+        """Dispatch ``n_steps`` fused decode steps WITHOUT a host sync.
+
+        Returns device arrays ``(out [n_steps, B], last_tok [B],
+        last_state [B])``; ``last_tok``/``last_state`` feed the next
+        chained call directly, which is what lets the scheduler keep the
+        device busy while the previous call's tokens are still in flight
+        back over the tunnel (~28 ms RTT per host-synced call).
+        """
         fn = self._decode_fns.get(n_steps)
         if fn is None:
             fn = self._decode_fns[n_steps] = self._build_decode(n_steps)
         if dfa_states is None:
-            dfa_states = np.zeros(len(tokens), np.int32)
-        tok, self.cache = fn(
-            self.params, self.cache, jnp.asarray(tokens, jnp.int32),
+            dfa_states = np.zeros(len(seq_lens), np.int32)
+        if not isinstance(tokens, jax.Array):
+            tokens = jnp.asarray(tokens, jnp.int32)
+        if not isinstance(dfa_states, jax.Array):
+            dfa_states = jnp.asarray(dfa_states, jnp.int32)
+        (tok, last_tok, last_state), self.cache = fn(
+            self.params, self.cache, tokens,
             jnp.asarray(seq_lens, jnp.int32),
             jnp.asarray(block_tables, jnp.int32), self.next_rng(),
             jnp.asarray(temperature, jnp.float32),
             jnp.asarray(top_k, jnp.int32),
             jnp.asarray(top_p, jnp.float32),
-            jnp.asarray(dfa_states, jnp.int32),
+            dfa_states,
             self._dfa_table,
         )
-        return np.asarray(tok)
+        return tok, last_tok, last_state

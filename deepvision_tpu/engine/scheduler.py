@@ -162,7 +162,16 @@ class ContinuousBatchingScheduler:
         interleave_min_tokens: int = 4096,
         dfa=None,
         prefill_batch_max: int = 4,
+        pipeline_decode: bool = False,
+        max_chained_decodes: int = 4,
     ):
+        # Pipelined decode: chain up to max_chained_decodes fused calls,
+        # dispatching call k+1 from device-resident state before reading
+        # call k back (hides the per-call host-sync RTT).  Admission always
+        # outranks chaining, so TTFT only waits for at most one in-flight
+        # call.
+        self.pipeline_decode = pipeline_decode
+        self.max_chained_decodes = max(2, max_chained_decodes)
         self.prefill_batch_max = max(1, prefill_batch_max)
         # Grammar DFA (engine/constrained.JsonTokenDfa) for json_mode
         # requests; None disables constrained decoding.
@@ -487,12 +496,18 @@ class ContinuousBatchingScheduler:
 
     # -- decode ---------------------------------------------------------
 
-    def _decode_step(self) -> bool:
-        if not self._active:
-            return False
+    def _gather_decode_batch(self, K: int, ahead: int):
+        """Build one fused-decode call's host inputs.
+
+        ``ahead`` is the number of tokens already promised to in-flight
+        chained calls but not yet appended to ``seq.tokens``:  ahead=0 is
+        the normal path (overflowing sequences retire at length); for a
+        chained call (ahead>0) any sequence that cannot extend aborts
+        chaining (returns None) instead — retirement decisions wait for
+        the in-flight call's readback.
+        """
         B = self.max_slots
         MP = self._max_pages_per_seq
-        K = self.decode_steps_per_call
         max_len = MP * self._page_size
         tokens = np.zeros(B, np.int32)
         lens = np.ones(B, np.int32)
@@ -508,17 +523,21 @@ class ContinuousBatchingScheduler:
             # its position is len-1 and seq_len (inclusive) is len — feeding
             # len+1 would write KV one row late and leave a gap the
             # attention mask still covers.
-            new_len = len(seq.tokens)
+            new_len = len(seq.tokens) + ahead
             # K fused steps write up to new_len + K - 1 positions; make sure
             # every write lands in an owned page (never the clamped last
             # block-table entry).
             need = pages_needed(new_len + K - 1, self._page_size)
             if new_len + K - 1 > max_len:
+                if ahead:
+                    return None, []
                 retire_now.append(seq)
                 continue
             if need > len(seq.pages):
                 extra = self.alloc.try_alloc(need - len(seq.pages))
                 if extra is None:
+                    if ahead:
+                        return None, []
                     retire_now.append(seq)  # KV exhausted: finish at length
                     continue
                 seq.pages.extend(extra)
@@ -529,36 +548,31 @@ class ContinuousBatchingScheduler:
             topk[slot] = seq.req.top_k
             topp[slot] = seq.req.top_p
             dstates[slot] = max(seq.dfa_state, 0)
-        for seq in retire_now:
-            self._retire(seq, "length")
-        if not self._active:
-            return bool(retire_now)
+        return (tokens, lens, bt, temps, topk, topp, dstates), retire_now
 
-        # Fine-grain interleave: single-token decode steps while prompts
-        # are mid-prefill, so waiting prompts advance every ~one step.
-        if self._prefilling:
-            K = 1
-        try:
-            out = self.runner.decode(
-                tokens, lens, bt, temps, topk, topp, n_steps=K,
-                dfa_states=dstates,
-            )  # [K, B]
-        except Exception as e:  # noqa: BLE001 — the engine must not die:
-            # a device/dispatch error fails the ACTIVE requests but keeps
-            # the scheduler thread alive for future work
-            for seq in list(self._active.values()):
-                self._active.pop(seq.slot, None)
-                self._free_slots.append(seq.slot)
-                self.alloc.free(seq.pages)
-                seq.req.finish(self._mk_result(
-                    seq.req, list(seq.generated), "error",
-                    seq.queue_wait_ms, seq.prefill_ms, 0,
-                    error=f"decode failed: {type(e).__name__}: {e}"))
-            return True
-        self.steps += K
+    def _fail_active(self, e: Exception) -> None:
+        """A device/dispatch error fails the ACTIVE requests but keeps the
+        scheduler thread alive for future work."""
+        for seq in list(self._active.values()):
+            self._active.pop(seq.slot, None)
+            self._free_slots.append(seq.slot)
+            self.alloc.free(seq.pages)
+            seq.req.finish(self._mk_result(
+                seq.req, list(seq.generated), "error",
+                seq.queue_wait_ms, seq.prefill_ms, 0,
+                error=f"decode failed: {type(e).__name__}: {e}"))
 
+    def _consume_decode_out(self, out, K: int,
+                            skip_slots=()) -> List[tuple]:
+        """Append one call's tokens to the active sequences; returns the
+        newly finished (seq, reason) pairs.  ``skip_slots`` are sequences
+        that finished in an EARLIER call of a pipelined chain — the
+        in-flight call still produced (garbage) tokens for them, which are
+        discarded here."""
         finished: List[tuple] = []
         for slot, seq in self._active.items():
+            if slot in skip_slots:
+                continue
             last_tok = None
             done = False
             for j in range(K):
@@ -575,9 +589,94 @@ class ContinuousBatchingScheduler:
                     break
             if done and last_tok is not None:
                 finished.append((seq, self._finish_reason(seq, last_tok)))
-        for seq, reason in finished:
-            self._retire(seq, reason)
-        return True
+        self.steps += K
+        return finished
+
+    def _decode_step(self) -> bool:
+        if not self._active:
+            return False
+        K = self.decode_steps_per_call
+        # Fine-grain interleave: single-token decode steps while prompts
+        # are mid-prefill, so waiting prompts advance every ~one step.
+        if self._prefilling:
+            K = 1
+        batch, retired = self._gather_decode_batch(K, ahead=0)
+        for seq in retired:
+            self._retire(seq, "length")
+        if not self._active or batch is None:
+            return bool(retired)
+        tokens, lens, bt, temps, topk, topp, dstates = batch
+
+        if not (self.pipeline_decode and K > 1 and not self._prefilling):
+            try:
+                out = self.runner.decode(
+                    tokens, lens, bt, temps, topk, topp, n_steps=K,
+                    dfa_states=dstates,
+                )  # [K, B]
+            except Exception as e:  # noqa: BLE001 — engine must not die
+                self._fail_active(e)
+                return True
+            for seq, reason in self._consume_decode_out(out, K):
+                self._retire(seq, reason)
+            return True
+
+        # --- pipelined chain: dispatch call k+1 (fed by device-resident
+        # last-token/DFA state) BEFORE reading call k back, hiding the
+        # host-sync RTT behind device compute -------------------------------
+        try:
+            tok_dev, last_tok, last_state = self.runner.decode_async(
+                tokens, lens, bt, temps, topk, topp, n_steps=K,
+                dfa_states=dstates,
+            )
+        except Exception as e:  # noqa: BLE001
+            self._fail_active(e)
+            return True
+        chained = 1
+        while True:
+            can_chain = (
+                chained < self.max_chained_decodes
+                and not self._prefilling
+                # admission outranks chaining: if a waiting request could
+                # be admitted into a free slot, surface to step()
+                and not (self._free_slots
+                         and (self._queues[HIGH] or self._queues[LOW]))
+            )
+            nxt = None
+            if can_chain:
+                # exactly ONE call is in flight and unconsumed at dispatch
+                # time (we read call k right after dispatching k+1), so the
+                # not-yet-appended token count is always K
+                nxt, _ = self._gather_decode_batch(K, ahead=K)
+            if nxt is None:
+                out = np.asarray(tok_dev)
+                for seq, reason in self._consume_decode_out(out, K):
+                    self._retire(seq, reason)
+                return True
+            _, lens2, bt2, temps2, topk2, topp2, _ = nxt
+            try:
+                nxt_dev = self.runner.decode_async(
+                    last_tok, lens2, bt2, temps2, topk2, topp2, n_steps=K,
+                    dfa_states=last_state,
+                )
+            except Exception as e:  # noqa: BLE001
+                self._fail_active(e)
+                return True
+            # read call k while call k+1 runs on-device
+            out = np.asarray(tok_dev)
+            finished = self._consume_decode_out(out, K)
+            tok_dev, last_tok, last_state = nxt_dev
+            chained += 1
+            if finished:
+                # drain the in-flight call, discarding tokens for the
+                # finished slots; pages are freed only AFTER its readback
+                # (the device already has their block tables in flight)
+                out2 = np.asarray(tok_dev)
+                skip = {seq.slot for seq, _ in finished}
+                finished2 = self._consume_decode_out(out2, K,
+                                                     skip_slots=skip)
+                for seq, reason in finished + finished2:
+                    self._retire(seq, reason)
+                return True
 
     def _seq_finished(self, seq: _ActiveSeq, tok: int) -> bool:
         req = seq.req
