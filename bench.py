@@ -154,20 +154,31 @@ def main():
 
     from deepvision_tpu.engine.engine import EngineConfig, LLMEngine
 
-    # flagship = best in-repo trained checkpoint (same resolution as the
-    # server's zero-config engine mode)
-    flagship, flagship_tok = "dv-1b", "byte"
-    for m, tok in (("dv-base", "resources/tokenizer/dv_bpe_16k.json"),
-                   ("dv-mini", "resources/tokenizer/dv_bpe_8k.json")):
-        if os.path.isfile(f"resources/checkpoints/{m}.npz"):
-            flagship, flagship_tok = m, tok
-            break
+    # Production lane split (matches the server's "auto" resolution): the
+    # TTFT-bound question lane runs the fast model, the report lanes run
+    # the big one — the reference's per-lane model architecture
+    # (web/config.py:14-46).
+    TOK16 = "resources/tokenizer/dv_bpe_16k.json"
+    TOK8 = "resources/tokenizer/dv_bpe_8k.json"
+    CANDIDATES = {"dv-fast": TOK16, "dv-base": TOK16, "dv-mini": TOK8}
+
+    def resolve(prefs):
+        for m in prefs:
+            if os.path.isfile(f"resources/checkpoints/{m}.npz"):
+                return m, CANDIDATES[m]
+        return "dv-1b", "byte"
+
+    fast_model, fast_tok = resolve(("dv-fast", "dv-mini", "dv-base"))
+    big_model, big_tok = resolve(("dv-base", "dv-fast", "dv-mini"))
+
+    pipeline = os.environ.get("DV_BENCH_PIPELINE", "1") == "1"
+    chain = int(os.environ.get("DV_BENCH_CHAIN", "4"))
 
     if on_tpu:
-        eng_cfg = EngineConfig(
-            model=flagship,
-            tokenizer=flagship_tok,
-            checkpoint_dir=f"resources/checkpoints/{flagship}.npz",
+        q_cfg = EngineConfig(
+            model=fast_model,
+            tokenizer=fast_tok,
+            checkpoint_dir=f"resources/checkpoints/{fast_model}.npz",
             max_slots=32,
             num_pages=3072,
             page_size=64,
@@ -176,6 +187,25 @@ def main():
             prefills_per_step=2,
             prefill_batch_max=4,
             decode_steps_per_call=8,
+            pipeline_decode=pipeline,
+            max_chained_decodes=chain,
+            chunked_prefill=True,
+            prefill_chunk_size=256,
+            interpret=False,
+            warmup=True,
+        )
+        r_cfg = EngineConfig(
+            model=big_model,
+            tokenizer=big_tok,
+            checkpoint_dir=f"resources/checkpoints/{big_model}.npz",
+            max_slots=16,
+            num_pages=2048,
+            page_size=64,
+            max_pages_per_seq=32,
+            max_pending=64,
+            decode_steps_per_call=8,
+            pipeline_decode=pipeline,
+            max_chained_decodes=chain,
             chunked_prefill=True,
             prefill_chunk_size=256,
             interpret=False,
@@ -184,7 +214,7 @@ def main():
         n_sessions, n_threads, q_tokens = 64, 32, 120
         n_reports, r_threads, r_tokens = 16, 16, 1500
     else:  # CI / smoke fallback on CPU
-        eng_cfg = EngineConfig(
+        q_cfg = r_cfg = EngineConfig(
             model="dv-tiny-test", tokenizer="byte", max_slots=4,
             num_pages=128, page_size=16, max_pages_per_seq=8,
             interpret=True,
@@ -193,21 +223,27 @@ def main():
         n_reports, r_threads, r_tokens = 2, 2, 8
 
     t0 = time.time()
-    engine = LLMEngine(eng_cfg)
-    engine.start()  # warmup compiles happen here
+    engine_q = LLMEngine(q_cfg)
+    engine_q.start()  # warmup compiles happen here
+    engine_r = engine_q if r_cfg is q_cfg or r_cfg == q_cfg else (
+        LLMEngine(r_cfg))
+    engine_r.start()
     compile_s = time.time() - t0
 
     ttfts, totals, q_errors, q_wall = _bench_questions(
-        engine, n_sessions, n_threads, q_tokens)
-    q_stats = engine.stats()
+        engine_q, n_sessions, n_threads, q_tokens)
+    q_stats = engine_q.stats()
     tokens_q = q_stats["tokens_generated"]
 
     drafts, r_errors, r_wall = _bench_reports(
-        engine, n_reports, r_threads, r_tokens)
-    r_stats = engine.stats()
-    tokens_r = r_stats["tokens_generated"] - tokens_q
+        engine_r, n_reports, r_threads, r_tokens)
+    r_stats = engine_r.stats()
+    tokens_r = (r_stats["tokens_generated"]
+                - (tokens_q if engine_r is engine_q else 0))
 
-    engine.shutdown()
+    engine_q.shutdown()
+    if engine_r is not engine_q:
+        engine_r.shutdown()
 
     try:
         pages_per_s = _bench_ingest()
@@ -229,7 +265,7 @@ def main():
         "unit": "ms",
         "vs_baseline": round(1500.0 / p50, 3) if p50 > 0 else 0.0,
         "backend": backend,
-        "model": eng_cfg.model,
+        "model": f"{q_cfg.model}+{r_cfg.model}",
         "concurrent_sessions": n_sessions,
         "ttft_p95_ms": round(p95, 1),
         "request_total_p50_ms": round(statistics.median(totals), 1),

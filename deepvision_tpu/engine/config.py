@@ -133,6 +133,28 @@ DV_MINI = _register(
     )
 )
 
+# dv-fast: the question-lane model — dv-mini's geometry on the round-2
+# corpus/tokenizer (16k vocab) at the full 2048 serving window.  4x fewer
+# FLOPs than dv-base keeps 64-way TTFT in the low hundreds of ms while
+# dv-base serves the report lanes (the reference ran exactly this split:
+# a fast question model and heavyweight draft/review models per lane,
+# web/config.py:14-46).
+DV_FAST = _register(
+    ModelConfig(
+        name="dv-fast",
+        vocab_size=16384,
+        d_model=512,
+        n_layers=6,
+        n_heads=4,
+        n_kv_heads=2,
+        d_ff=1536,
+        head_dim=128,
+        rope_theta=10000.0,
+        max_seq_len=2048,
+        tie_embeddings=True,
+    )
+)
+
 # dv-base: the round-2 flagship — ~92M params trained from scratch on TPU
 # by scripts/train_model.py over the enriched synthetic corpus with the
 # dv_bpe_16k tokenizer.  Trained at the full serving window (seq 2048) so

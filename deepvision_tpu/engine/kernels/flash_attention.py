@@ -173,20 +173,56 @@ _flash_attention_vjp.defvjp(_flash_vjp_fwd, _flash_vjp_bwd)
 # Flash backward kernels.
 #
 # Standard two-kernel decomposition (FlashAttention-2 style):
-#   dQ kernel  — grid (B, H, q_blocks); pass 1 recomputes the row softmax
-#                statistics (m, l) online, pass 2 streams K/V blocks again
-#                accumulating dQ.  Emits lse = m + log l so dK/dV need not
-#                recompute it per k block (that would be O(S^3/blk)).
+#   dQ kernel  — grid (B, H, q_blocks); streams K/V blocks accumulating dQ.
 #   dKV kernel — grid (B, KV, k_blocks); holds one K/V block, streams the
 #                kv-head's query group (GQA folded via reshape, no K/V
 #                duplication) accumulating dK and dV.
-# D = rowsum(dO * O) is a cheap elementwise jnp precompute.
+# The row softmax statistics (lse) and D = rowsum(dO * O) are O(S)-memory
+# jnp precomputes shared by both kernels; they enter the kernels as
+# full-tile [n_qb, blk_q] blocks (Mosaic requires the last two block dims
+# to be (8k, 128k)-aligned OR equal to the array dims — a (1, blk_q) row
+# block is not lowerable, learned on real hardware).
 # ---------------------------------------------------------------------------
 
 
+def _row_logsumexp(q, k, seq_lens, *, blk_k: int, scale: float):
+    """Per-row causal logsumexp, blockwise over k: O(S) memory, pure XLA.
+
+    One extra QK^T pass (~1/7 of total backward matmul FLOPs) buys kernel
+    simplicity: both backward kernels consume lse as a plain input.
+    """
+    B, H, S, HD = q.shape
+    KV = k.shape[1]
+    if KV != H:
+        k = jnp.repeat(k, H // KV, axis=1)
+    qf = q.astype(jnp.float32) * scale
+    kf = k.astype(jnp.float32)
+    rows = jnp.arange(S)[:, None]
+
+    def body(carry, jb):
+        m_prev, l_prev = carry
+        k_blk = jax.lax.dynamic_slice_in_dim(kf, jb * blk_k, blk_k, axis=2)
+        s = jnp.einsum("bhqd,bhkd->bhqk", qf, k_blk)
+        cols = jb * blk_k + jnp.arange(blk_k)[None, :]
+        mask = (cols <= rows) & (
+            cols[None] < seq_lens[:, None, None])  # [B, S, blk_k]
+        s = jnp.where(mask[:, None], s, _NEG_INF)
+        m_cur = jnp.max(s, axis=-1)
+        m_new = jnp.maximum(m_prev, m_cur)
+        l_new = (l_prev * jnp.exp(m_prev - m_new)
+                 + jnp.sum(jnp.exp(s - m_new[..., None]), axis=-1))
+        return (m_new, l_new), None
+
+    m0 = jnp.full((B, H, S), _NEG_INF, jnp.float32)
+    l0 = jnp.zeros((B, H, S), jnp.float32)
+    (m, l), _ = jax.lax.scan(body, (m0, l0), jnp.arange(S // blk_k))
+    l = jnp.where(l == 0.0, 1.0, l)
+    return m + jnp.log(l)  # [B, H, S]
+
+
 def _flash_bwd_dq_kernel(
-    lens_ref, q_ref, k_ref, v_ref, do_ref, d_ref,
-    dq_ref, lse_ref,
+    lens_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, d_ref,
+    dq_ref,
     *, blk_q: int, blk_k: int, scale: float,
 ):
     b = pl.program_id(0)
@@ -197,14 +233,16 @@ def _flash_bwd_dq_kernel(
 
     q = q_ref[0, 0].astype(jnp.float32) * scale      # [blk_q, hd]
     do = do_ref[0, 0].astype(jnp.float32)            # [blk_q, hd]
-    d_row = d_ref[0, 0][0].astype(jnp.float32)       # [blk_q] (2D read)
+    # lse/d arrive as full [n_qb, blk_q] tiles; take this program's row
+    lse = lse_ref[0, 0, pl.ds(qi, 1), :]             # [1, blk_q]
+    d_row = d_ref[0, 0, pl.ds(qi, 1), :]             # [1, blk_q]
     hd = q.shape[-1]
 
     row_ids = q_start + jax.lax.broadcasted_iota(jnp.int32, (blk_q, blk_k), 0)
     limit = jnp.minimum(q_start + blk_q, kv_len)
     num_k_blocks = pl.cdiv(limit, blk_k)
 
-    def scores(j):
+    def grad_body(j, acc):
         k = k_ref[0, 0, pl.ds(j * blk_k, blk_k), :].astype(jnp.float32)
         s = jax.lax.dot_general(
             q, k, dimension_numbers=(((1,), (1,)), ((), ())),
@@ -214,35 +252,13 @@ def _flash_bwd_dq_kernel(
             jnp.int32, (blk_q, blk_k), 1
         )
         mask = (col_ids <= row_ids) & (col_ids < kv_len)
-        return jnp.where(mask, s, _NEG_INF), k
-
-    # pass 1: row logsumexp
-    def stat_body(j, carry):
-        m_prev, l_prev = carry
-        s, _ = scores(j)
-        m_cur = jnp.max(s, axis=-1, keepdims=True)
-        m_new = jnp.maximum(m_prev, m_cur)
-        l_new = l_prev * jnp.exp(m_prev - m_new) + jnp.sum(
-            jnp.exp(s - m_new), axis=-1, keepdims=True
-        )
-        return m_new, l_new
-
-    m0 = jnp.full((blk_q, 1), _NEG_INF, dtype=jnp.float32)
-    l0 = jnp.zeros((blk_q, 1), dtype=jnp.float32)
-    m, l = jax.lax.fori_loop(0, num_k_blocks, stat_body, (m0, l0))
-    l = jnp.where(l == 0.0, 1.0, l)
-    lse = m + jnp.log(l)                              # [blk_q, 1]
-
-    # pass 2: dQ
-    def grad_body(j, acc):
-        s, k = scores(j)
-        p = jnp.exp(s - lse)                          # masked cols -> ~0
+        p = jnp.where(mask, jnp.exp(s - lse[0][:, None]), 0.0)
         v = v_ref[0, 0, pl.ds(j * blk_k, blk_k), :].astype(jnp.float32)
         dp = jax.lax.dot_general(
             do, v, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )                                             # [blk_q, blk_k]
-        ds = p * (dp - d_row[:, None])
+        ds = p * (dp - d_row[0][:, None])
         return acc + jax.lax.dot_general(
             ds, k, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -251,7 +267,6 @@ def _flash_bwd_dq_kernel(
     acc0 = jnp.zeros((blk_q, hd), dtype=jnp.float32)
     dq = jax.lax.fori_loop(0, num_k_blocks, grad_body, acc0)
     dq_ref[0, 0] = (dq * scale).astype(dq_ref.dtype)
-    lse_ref[0, 0] = lse.reshape(1, -1)  # 2D tile store
 
 
 def _flash_bwd_dkv_kernel(
@@ -338,11 +353,17 @@ def _flash_backward(
     n_qb = S // blk_q
     lens32 = seq_lens.astype(jnp.int32)
 
-    # D = rowsum(dO * O), blocked to [B, H, n_qb, blk_q] for 2D tile stores.
+    # O(S)-memory jnp precomputes shared by both kernels, blocked to
+    # [B, H, n_qb, blk_q] so they enter as full-tile (Mosaic-legal) blocks.
     d = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)
     d_blocked = d.reshape(B, H, n_qb, blk_q)
+    lse = _row_logsumexp(q, k, lens32, blk_k=blk_k, scale=scale)
+    lse_blocked = lse.reshape(B, H, n_qb, blk_q)
 
-    # -- dQ (+ lse) --------------------------------------------------------
+    # -- dQ ----------------------------------------------------------------
+    full_rows = pl.BlockSpec(
+        (1, 1, n_qb, blk_q), lambda b, h, i, lens: (b, h, 0, 0)
+    )
     dq_grid = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B, H, n_qb),
@@ -355,35 +376,32 @@ def _flash_backward(
                 (1, 1, S, HD), lambda b, h, i, lens: (b, h // q_per_kv, 0, 0)
             ),
             pl.BlockSpec((1, 1, blk_q, HD), lambda b, h, i, lens: (b, h, i, 0)),
-            pl.BlockSpec((1, 1, 1, blk_q), lambda b, h, i, lens: (b, h, i, 0)),
+            full_rows,
+            full_rows,
         ],
-        out_specs=[
-            pl.BlockSpec((1, 1, blk_q, HD), lambda b, h, i, lens: (b, h, i, 0)),
-            pl.BlockSpec((1, 1, 1, blk_q), lambda b, h, i, lens: (b, h, i, 0)),
-        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, blk_q, HD), lambda b, h, i, lens: (b, h, i, 0)
+        ),
     )
     flops_dq = 3 * 4 * B * H * S * S * HD // 2
-    dq, lse = pl.pallas_call(
+    dq = pl.pallas_call(
         functools.partial(
             _flash_bwd_dq_kernel, blk_q=blk_q, blk_k=blk_k, scale=scale
         ),
         grid_spec=dq_grid,
-        out_shape=[
-            jax.ShapeDtypeStruct(q.shape, q.dtype),
-            jax.ShapeDtypeStruct((B, H, n_qb, blk_q), jnp.float32),
-        ],
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=flops_dq,
             bytes_accessed=(2 * q.size + k.size + v.size) * q.dtype.itemsize,
-            transcendentals=B * H * S * S,
+            transcendentals=B * H * S * S // 2,
         ),
-    )(lens32, q, k, v, g, d_blocked)
+    )(lens32, q, k, v, g, lse_blocked, d_blocked)
 
     # -- dK/dV (GQA group folded via reshape; no K/V duplication) ----------
     q5 = q.reshape(B, KV, q_per_kv, S, HD)
     do5 = g.reshape(B, KV, q_per_kv, S, HD)
-    lse5 = lse.reshape(B, KV, q_per_kv, n_qb, blk_q)
+    lse5 = lse_blocked.reshape(B, KV, q_per_kv, n_qb, blk_q)
     d5 = d_blocked.reshape(B, KV, q_per_kv, n_qb, blk_q)
     n_kb = S // blk_k
     dkv_grid = pltpu.PrefetchScalarGridSpec(

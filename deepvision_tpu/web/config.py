@@ -17,7 +17,7 @@ REPORT_DRAFT_MODEL_NAME = "auto"
 REPORT_REVIEW_MODEL_NAME = "auto"
 ENGINE_TOKENIZER = "auto"
 ENGINE_CHECKPOINT_DIR = ""
-ENGINE_MAX_SLOTS = 32  # dv-mini KV is small; 32 slots halves queue waits
+ENGINE_MAX_SLOTS = 32  # small-model KV is cheap; 32 slots halves queue waits
 ENGINE_NUM_PAGES = 1024
 ENGINE_PAGE_SIZE = 64
 ENGINE_MAX_PAGES_PER_SEQ = 32
@@ -25,6 +25,10 @@ ENGINE_TP = 1
 ENGINE_REPLICAS = 1              # local replicas per model (router when >1)
 ENGINE_REMOTE_URLS = ""          # comma list of remote engine services (DCN)
 ENGINE_DECODE_STEPS_PER_CALL = 8
+# chain fused decode calls from device-resident state (hides the ~28ms
+# tunneled host-sync per call; measured 4.4x decode tok/s on v5e)
+ENGINE_PIPELINE_DECODE = True
+ENGINE_MAX_CHAINED_DECODES = 4
 ENGINE_CHUNKED_PREFILL = True
 ENGINE_PREFILL_CHUNK_SIZE = 256
 

@@ -74,6 +74,11 @@ DESCRIPTORS: List[SettingDescriptor] = [
        requires_restart=True),
     _d("ENGINE_DECODE_STEPS_PER_CALL", "ai", "int",
        "单次调度融合解码步数（K）", min_value=1, max_value=64),
+    _d("ENGINE_PIPELINE_DECODE", "ai", "bool",
+       "流水线解码（设备驻留状态链式调度，隐藏主机同步延迟）",
+       requires_restart=True),
+    _d("ENGINE_MAX_CHAINED_DECODES", "ai", "int", "链式解码调用上限",
+       min_value=2, max_value=32, requires_restart=True),
     _d("ENGINE_CHUNKED_PREFILL", "ai", "bool", "长提示分块预填充",
        requires_restart=True),
     _d("ENGINE_PREFILL_CHUNK_SIZE", "ai", "int", "预填充块大小",

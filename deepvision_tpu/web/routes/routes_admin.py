@@ -180,6 +180,20 @@ def register(app, state):
             raise HTTPError(400, {"error": "缺少搜索关键字 q"})
         return state.auth.find_users(query)
 
+    @app.route("/api/admin/users/<int:user_id>/level", methods=["PUT"])
+    def admin_set_user_level(req, user_id):
+        """Direct level assignment (reference user-level management,
+        web/server.py:8949-8996; licenses remain the self-serve path)."""
+        require_admin(state, req)
+        from deepvision_tpu.web.levels import LEVELS
+
+        level = (req.get_json().get("level") or "").strip()
+        if level not in LEVELS:
+            raise HTTPError(
+                400, {"error": f"level 必须是 {'/'.join(LEVELS)} 之一"})
+        state.auth.set_user_level(user_id, level)
+        return {"ok": True, "user_id": user_id, "level": level}
+
     @app.route("/api/admin/usage/summary")
     def usage_summary(req):
         require_admin(state, req)

@@ -225,6 +225,8 @@ class AppState:
             )
             # each trained preset pairs with the vocab it was trained on
             tokenizer_by_model = {
+                "dv-fast": os.path.join(res, "tokenizer",
+                                        "dv_bpe_16k.json"),
                 "dv-base": os.path.join(res, "tokenizer",
                                         "dv_bpe_16k.json"),
                 "dv-mini": os.path.join(res, "tokenizer", "dv_bpe_8k.json"),
@@ -234,10 +236,11 @@ class AppState:
                 p = os.path.join(res, "checkpoints", f"{model_name}.npz")
                 return p if os.path.isfile(p) else None
 
-            default_model = next(
-                (m for m in ("dv-base", "dv-mini") if default_ckpt(m)),
-                "dv-1b",
-            )
+            # per-lane "auto" preference: TTFT-bound lanes take the fast
+            # model, quality-bound report lanes take the big one (the
+            # reference's per-lane model split, web/config.py:14-46)
+            _FAST_PREF = ("dv-fast", "dv-base", "dv-mini")
+            _QUALITY_PREF = ("dv-base", "dv-fast", "dv-mini")
 
             def engine_cfg(model_name: str) -> EngineConfig:
                 tok = cfg.get_str("ENGINE_TOKENIZER", "auto")
@@ -259,6 +262,10 @@ class AppState:
                     tp=cfg.get_int("ENGINE_TP", 1),
                     decode_steps_per_call=cfg.get_int(
                         "ENGINE_DECODE_STEPS_PER_CALL", 8),
+                    pipeline_decode=cfg.get_bool(
+                        "ENGINE_PIPELINE_DECODE", True),
+                    max_chained_decodes=cfg.get_int(
+                        "ENGINE_MAX_CHAINED_DECODES", 4),
                     chunked_prefill=cfg.get_bool(
                         "ENGINE_CHUNKED_PREFILL", True),
                     prefill_chunk_size=cfg.get_int(
@@ -276,7 +283,11 @@ class AppState:
             def lane_model(key: str) -> str:
                 # "auto" / empty resolves to the best in-repo checkpoint
                 name = cfg.get_str(key, "auto")
-                return default_model if name in ("", "auto") else name
+                if name not in ("", "auto"):
+                    return name
+                prefs = (_QUALITY_PREF if key.startswith("REPORT")
+                         else _FAST_PREF)
+                return next((m for m in prefs if default_ckpt(m)), "dv-1b")
 
             lane_models = {
                 "question": lane_model("QUESTION_MODEL_NAME"),

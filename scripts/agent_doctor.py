@@ -78,7 +78,7 @@ def _resolve_flagship() -> str:
 
     name = cfg.QUESTION_MODEL_NAME
     if name in ("", "auto"):
-        for m in ("dv-base", "dv-mini"):
+        for m in ("dv-fast", "dv-base", "dv-mini"):
             if os.path.isfile(os.path.join(
                     ROOT, "resources", "checkpoints", f"{m}.npz")):
                 return m
@@ -87,6 +87,7 @@ def _resolve_flagship() -> str:
 
 
 _TOKENIZER_BY_MODEL = {
+    "dv-fast": "dv_bpe_16k.json",
     "dv-base": "dv_bpe_16k.json",
     "dv-mini": "dv_bpe_8k.json",
 }

@@ -64,6 +64,20 @@ def run_scenario(client, scenario: dict, app=None) -> list:
             if app is not None:
                 app.state.report_queue.drain(timeout=30)
             continue
+        if "upload" in step:
+            up = step["upload"]
+            resp = client.post(
+                up["path"],
+                files={"file": (up["filename"],
+                                up["content"].encode("utf-8"),
+                                up.get("content_type", "text/plain"))},
+            )
+            expect = step.get("expect", {})
+            if "status" in expect and resp.status_code != expect["status"]:
+                failures.append(
+                    f"step {i}: upload {up['path']} -> "
+                    f"{resp.status_code}, expected {expect['status']}")
+            continue
         if "seed_report" in step:
             seed = step["seed_report"]
             if app is not None:
