@@ -587,69 +587,81 @@ def gen_report_example(rng, scenarios):
     def refs():
         return sorted(rng.sample(q_ids, rng.randint(1, min(2, n_q))))
 
+    def long_desc(*templates):
+        """2-3 filled sentences — report prose must be substantive, not
+        one-liners (served drafts inherit the corpus's section depth)."""
+        parts = [_fill(rng, rng.choice(t)) for t in templates]
+        return "".join(p if p.endswith("。") else p + "。" for p in parts)
+
     needs = []
-    for i in range(rng.randint(2, 4)):
+    for i in range(rng.randint(3, 6)):
         needs.append({
             "title": rng.choice(["核心业务诉求", "实施路径诉求", "数据治理诉求",
-                                 "一线效率诉求", "合规与安全诉求"]),
-            "description": rng.choice(GOALS) if rng.random() < 0.6
-            else rng.choice(CONSTRAINTS),
+                                 "一线效率诉求", "合规与安全诉求",
+                                 "管理可视诉求", "协同效率诉求"]),
+            "description": long_desc(
+                GOALS if rng.random() < 0.6 else CONSTRAINTS,
+                ANSWER_FOLLOWUPS),
             "priority": rng.choice(["P0", "P0", "P1", "P2"]),
             "refs": refs(),
         })
     viz = {}
-    for _ in range(rng.randint(2, 3)):
+    for _ in range(rng.randint(2, 4)):
         k, v = _mermaid(rng, topic)
         viz[k] = v
     solutions = []
-    for i in range(rng.randint(1, 3)):
+    for i in range(rng.randint(2, 4)):
         solutions.append({
             "title": rng.choice(["分阶段实施方案", "数据底座先行方案",
-                                 "试点推广方案", "轻量改造方案"]),
-            "description": _fill(rng, rng.choice(SOLUTION_APPROACH)),
+                                 "试点推广方案", "轻量改造方案",
+                                 "流程再造方案", "平台化整合方案"]),
+            "description": long_desc(SOLUTION_APPROACH, SOLUTION_VALUE,
+                                     SOLUTION_COMMITMENT),
             "refs": refs(),
         })
     risks = []
-    for i in range(rng.randint(1, 3)):
+    for i in range(rng.randint(2, 4)):
         risks.append({
             "title": rng.choice(["数据迁移风险", "排期依赖风险", "组织配合风险",
-                                 "供应商交付风险", "合规变化风险"]),
-            "description": rng.choice(CONSTRAINTS),
+                                 "供应商交付风险", "合规变化风险",
+                                 "预算超支风险", "关键人员流失风险"]),
+            "description": long_desc(CONSTRAINTS, PAIN_POINTS),
             "refs": refs(),
         })
     actions = []
-    for i in range(rng.randint(1, 3)):
+    for i in range(rng.randint(2, 4)):
         actions.append({
             "title": rng.choice(["两周内完成方案评审", "本月完成数据盘点",
-                                 "下周输出试点范围", "启动供应商考察"]),
-            "description": _fill(rng, rng.choice(ANSWER_FOLLOWUPS)) + "。",
+                                 "下周输出试点范围", "启动供应商考察",
+                                 "制定数据迁移演练计划", "明确一期验收指标"]),
+            "description": long_desc(ANSWER_FOLLOWUPS, GOALS),
             "refs": refs(),
         })
     draft = {
         "overview": (
             f"本报告基于对「{topic}」的{n_q}轮结构化访谈整理。"
             f"核心发现：{rng.choice(PAIN_POINTS)}；业务目标为{rng.choice(GOALS)}。"
-            + (f"主要约束是{rng.choice(CONSTRAINTS)}。"
-               if rng.random() < 0.5 else "")
+            f"主要约束是{rng.choice(CONSTRAINTS)}。"
+            + _fill(rng, rng.choice(PROSE_TEMPLATES))[:120]
         ),
         "needs": needs,
         "analysis": {
-            "customer_needs": f"访谈对象明确表达了痛点：{rng.choice(PAIN_POINTS)}。"
-                              f"期望达成{rng.choice(GOALS)}。",
+            "customer_needs": long_desc(PAIN_POINTS, GOALS,
+                                        ANSWER_FOLLOWUPS),
             "business_flow": rng.choice([
                 "现有流程存在线下断点，需要线上化与自动化改造。",
                 "流程跨多个部门流转，交接环节缺少时限与留痕。",
                 "主流程基本线上化，但异常处理仍依赖人工协调。",
-            ]),
-            "tech_constraints": rng.choice(CONSTRAINTS),
-            "project_constraints": rng.choice(CONSTRAINTS),
+            ]) + long_desc(ANSWER_FOLLOWUPS),
+            "tech_constraints": long_desc(CONSTRAINTS, ANSWER_FOLLOWUPS),
+            "project_constraints": long_desc(CONSTRAINTS, GOALS),
         },
         "visualizations": viz,
         "solutions": solutions,
         "risks": risks,
         "actions": actions,
         "open_questions": [rng.choice(PAIN_POINTS)
-                           for _ in range(rng.randint(1, 2))],
+                           for _ in range(rng.randint(1, 3))],
         "evidence_index": q_ids,
     }
     return prompt + "\n" + json.dumps(draft, ensure_ascii=False)
