@@ -151,13 +151,35 @@ class LicenseService:
                 raise LicenseError("激活码已被其他账号使用")
             if row["expires_at"] and row["expires_at"] < utc_now_iso():
                 raise LicenseError("激活码已过期")
+            # a new activation replaces the user's previous license; the
+            # old one is released as 'replaced' (reference
+            # test_new_license_replaces_old_license_and_switches_level).
+            # Re-activating the SAME code is a no-op on the binding
+            # (…_reactivating_same_license_keeps_current_binding_stable).
+            old = conn.execute(
+                "SELECT license_id FROM licenses WHERE user_id = ? AND "
+                "status = 'active' AND license_id != ?",
+                (user_id, row["license_id"]),
+            ).fetchall()
+            for o in old:
+                conn.execute(
+                    "UPDATE licenses SET status = 'replaced' "
+                    "WHERE license_id = ?", (o["license_id"],),
+                )
+                self._event(conn, o["license_id"], "replaced",
+                            f"by:{row['license_id']}")
+            already_bound = (
+                row["status"] == "active" and row["user_id"] == user_id
+            )
             conn.execute(
                 "UPDATE licenses SET status = 'active', user_id = ?, "
-                "activated_at = ? WHERE license_id = ?",
+                "activated_at = COALESCE(activated_at, ?) "
+                "WHERE license_id = ?",
                 (user_id, utc_now_iso(), row["license_id"]),
             )
-            self._event(conn, row["license_id"], "activated",
-                        f"user:{user_id}")
+            if not already_bound:
+                self._event(conn, row["license_id"], "activated",
+                            f"user:{user_id}")
             conn.commit()
         return self.get(row["license_id"])
 

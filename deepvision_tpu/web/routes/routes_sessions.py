@@ -75,6 +75,20 @@ def register(app, state):
         scenario = state.scenarios.get(scenario_id, state.instance_scope)
         if scenario is None:
             raise HTTPError(404, {"error": f"场景不存在: {scenario_id}"})
+        # per-level session cap (reference level capability map
+        # web/server.py:8738-9019): experience 5 / standard 50 / pro ∞
+        from deepvision_tpu.web.levels import level_allows
+
+        _, existing = state.sessions.list_index(
+            str(user["user_id"]), state.instance_scope,
+            page=1, page_size=1,
+        )
+        if not level_allows(user.get("level"), "max_sessions", existing):
+            raise HTTPError(403, {
+                "error": "会话数量已达当前等级上限，请升级或删除旧会话",
+                "session_limit_reached": True,
+                "session_count": existing,
+            })
         mode = clamp_interview_mode(
             user.get("level"), body.get("interview_mode") or "standard"
         )
@@ -137,17 +151,44 @@ def register(app, state):
 
     @app.route("/api/sessions/batch-delete", methods=["POST"])
     def batch_delete_sessions(req):
+        """Batch delete; with delete_reports=true the session-bound reports
+        go too — but only reports the caller owns in THIS instance scope
+        (reference test_batch_delete_sessions_with_linked_reports /
+        ..._does_not_delete_reports_from_other_scope)."""
         user = require_user(state, req)
-        ids = req.get_json().get("session_ids") or []
-        deleted = []
+        body = req.get_json()
+        ids = body.get("session_ids") or []
+        delete_reports = bool(body.get("delete_reports"))
+        deleted, deleted_reports = [], []
         for sid in ids[:100]:
             try:
-                _load_owned(state, sid, user)
+                session = _load_owned(state, sid, user)
             except HTTPError:
                 continue
+            if delete_reports:
+                rows = state.meta.query(
+                    "SELECT report_name FROM report_index WHERE "
+                    "session_id = ? AND deleted = 0", (sid,),
+                )
+                names = {r["report_name"] for r in rows}
+                for key in ("current_report_name", "last_report_name"):
+                    if session.get(key):
+                        names.add(session[key])
+                for name in sorted(names):
+                    scope = state.reports.scope_of(name)
+                    if scope is not None and scope != state.instance_scope:
+                        continue  # other tenant's report: never touched
+                    owner = state.reports.owner_of(name)
+                    if owner is not None and owner != str(user["user_id"]) \
+                            and not state.auth.is_admin(user):
+                        continue
+                    if state.reports.delete(name):
+                        deleted_reports.append(name)
             state.sessions.delete(sid)
             deleted.append(sid)
-        return {"ok": True, "deleted": deleted}
+        return {"ok": True, "deleted": deleted,
+                "deleted_sessions": deleted,
+                "deleted_reports": deleted_reports}
 
     # ------------------------------------------------------------------
     # Next question (§3.2)
@@ -503,9 +544,36 @@ def register(app, state):
                 }, 409
         from deepvision_tpu.web.levels import clamp_report_profile
 
-        profile = clamp_report_profile(
-            user.get("level"), body.get("profile") or "balanced"
-        )
+        requested = body.get("profile") or body.get("report_profile") \
+            or "balanced"
+        if requested not in ("balanced", "quality", "release-conservative"):
+            raise HTTPError(400, {"error": f"未知的报告档位: {requested}"})
+        profile = clamp_report_profile(user.get("level"), requested)
+        if profile != requested:
+            # explicit ask above the level's ceiling is a 403, not a silent
+            # downgrade (reference level_capability_denied payload)
+            from deepvision_tpu.web.levels import CAPABILITIES
+
+            required = next(
+                (lv for lv in ("standard", "professional")
+                 if requested in CAPABILITIES[lv]["report_profiles"]),
+                "professional",
+            )
+            raise HTTPError(403, {
+                "error": f"当前等级不支持 {requested} 档报告",
+                "error_code": "level_capability_denied",
+                "capability_key": f"report.profile.{requested}",
+                "current_level": {"key": user.get("level") or "experience"},
+                "required_level": {"key": required},
+            })
+        # retrigger while a job is live returns the active payload instead
+        # of double-enqueueing (reference
+        # test_generate_report_returns_existing_active_payload_when_retriggered)
+        current = state.report_queue.status_payload(session_id)
+        if current.get("active"):
+            current["accepted"] = True
+            current["already_active"] = True
+            return current, 200
         accepted = state.report_queue.submit(
             session_id, profile=profile,
             owner_user_id=str(user["user_id"]),

@@ -369,6 +369,15 @@ class ReportStore:
 
     # -- share tokens ----------------------------------------------------
     def create_share(self, report_name: str) -> str:
+        """Idempotent per report: re-sharing returns the existing live token
+        (reference test_solution_share_creation_is_idempotent_for_same_owner)."""
+        row = self.meta.query_one(
+            "SELECT share_token FROM report_meta_shares "
+            "WHERE report_name = ? AND revoked = 0",
+            (report_name,),
+        )
+        if row:
+            return row["share_token"]
         token = secrets.token_urlsafe(24)
         self.meta.execute(
             "INSERT INTO report_meta_shares (share_token, report_name, "

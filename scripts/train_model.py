@@ -84,6 +84,12 @@ def main():
     import jax
     import optax
 
+    # reuse the serving engine's persistent XLA compile cache so train-step
+    # recompiles (resume runs, config sweeps) skip the remote helper
+    from deepvision_tpu.engine.engine import _enable_persistent_compile_cache
+
+    _enable_persistent_compile_cache()
+
     from deepvision_tpu.engine.config import get_model_config
     from deepvision_tpu.engine.training import (
         Trainer, cross_entropy_loss, make_train_step,  # noqa: F401
