@@ -36,6 +36,9 @@ class EngineConfig:
     page_size: int = 64
     max_pages_per_seq: int = 64
     tp: int = 1                      # tensor-parallel degree
+    # vocab-shard the embedding/lm_head over the TP mesh (None = auto:
+    # on for >=32k vocabs divisible by tp; see parallel.ShardPlan)
+    vocab_sharded: Optional[bool] = None
     max_pending: int = 64
     prefills_per_step: int = 1
     # fresh prompts admitted in one batched prefill dispatch (TTFT lever
@@ -126,7 +129,8 @@ class LLMEngine:
             )
 
             mesh = make_mesh(n_model=cfg.tp)
-            plan = ShardPlan.for_model(self.model_cfg, cfg.tp)
+            plan = ShardPlan.for_model(self.model_cfg, cfg.tp,
+                                       vocab_sharded=cfg.vocab_sharded)
             params = shard_params(params, mesh, plan, self.model_cfg)
 
         self.runner = ModelRunner(

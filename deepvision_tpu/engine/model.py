@@ -76,15 +76,33 @@ def _mlp(x, blk, axis, compute_dtype=jnp.bfloat16):
     return _psum(down, axis).astype(x.dtype)
 
 
-def _logits(x, params, cfg: ModelConfig, axis: Optional[str]):
-    """x: [..., D] final hidden -> [..., V] fp32 logits.
+def _embed(params, tokens, axis: Optional[str], vocab_sharded: bool,
+           dtype=jnp.bfloat16):
+    """Embedding lookup; under vocab sharding each chip holds V/n rows
+    (see engine/parallel.py), so the owner shard contributes the row and a
+    psum over ICI reconstructs it (Megatron parallel embedding)."""
+    embed = params["embed"]
+    if not (axis and vocab_sharded):
+        return jnp.take(embed, tokens, axis=0).astype(dtype)
+    v_local = embed.shape[0]
+    local = tokens - jax.lax.axis_index(axis) * v_local
+    owns = (local >= 0) & (local < v_local)
+    rows = jnp.take(embed, jnp.clip(local, 0, v_local - 1), axis=0)
+    rows = jnp.where(owns[..., None], rows, 0)
+    return jax.lax.psum(rows, axis).astype(dtype)
 
-    The embedding / lm_head matrix is kept replicated in the round-1 shard
-    plan (see :mod:`deepvision_tpu.engine.parallel`), so no collective is
-    needed here.
+
+def _logits(x, params, cfg: ModelConfig, axis: Optional[str],
+            vocab_sharded: bool = False):
+    """x: [..., D] final hidden -> fp32 logits.
+
+    Replicated lm_head (default): full [..., V] on every chip, no
+    collective.  Vocab-sharded: the matmul runs against the LOCAL [D, V/n]
+    shard and returns local logits — sampling merges per-shard top-k
+    (engine/sampling.py) so the full-vocab tensor never materializes.
     """
     if cfg.tie_embeddings:
-        w = params["embed"].T  # [D, V]
+        w = params["embed"].T  # [D, V] (or local [D, V/n])
     else:
         w = params["lm_head"]
     logits = jnp.dot(
@@ -109,6 +127,7 @@ def forward_prefill(
     *,
     cfg: ModelConfig,
     axis: Optional[str] = None,
+    vocab_sharded: bool = False,
     interpret: Optional[bool] = None,
 ):
     """Run the prompt through the model, writing K/V pages.
@@ -120,7 +139,7 @@ def forward_prefill(
     Returns ``(last_logits [B, V], new_cache)``.
     """
     B, S = tokens.shape
-    x = jnp.take(params["embed"], tokens, axis=0).astype(jnp.bfloat16)
+    x = _embed(params, tokens, axis, vocab_sharded)
     if cfg.scale_embeddings:
         x = x * jnp.asarray(cfg.d_model ** 0.5, dtype=x.dtype)
     positions = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32), (B, S))
@@ -165,7 +184,7 @@ def forward_prefill(
     last = jnp.take_along_axis(
         x, (seq_lens - 1)[:, None, None].astype(jnp.int32), axis=1
     )[:, 0]
-    logits = _logits(last, params, cfg, axis)
+    logits = _logits(last, params, cfg, axis, vocab_sharded)
     return logits, {"k": tuple(k_list), "v": tuple(v_list)}
 
 
@@ -179,6 +198,7 @@ def forward_prefill_chunk(
     *,
     cfg: ModelConfig,
     axis: Optional[str] = None,
+    vocab_sharded: bool = False,
     interpret: Optional[bool] = None,
 ):
     """One chunk of chunked prefill: write this chunk's K/V pages, attend
@@ -195,7 +215,7 @@ def forward_prefill_chunk(
     from deepvision_tpu.engine.kv_cache import write_chunk_tokens
 
     B, C = tokens.shape
-    x = jnp.take(params["embed"], tokens, axis=0).astype(jnp.bfloat16)
+    x = _embed(params, tokens, axis, vocab_sharded)
     if cfg.scale_embeddings:
         x = x * jnp.asarray(cfg.d_model ** 0.5, dtype=x.dtype)
     positions = chunk_starts[:, None] + jnp.arange(C, dtype=jnp.int32)
@@ -236,7 +256,7 @@ def forward_prefill_chunk(
     last = jnp.take_along_axis(
         x, last_row[:, None, None].astype(jnp.int32), axis=1
     )[:, 0]
-    logits = _logits(last, params, cfg, axis)
+    logits = _logits(last, params, cfg, axis, vocab_sharded)
     return logits, {"k": tuple(k_list), "v": tuple(v_list)}
 
 
@@ -253,6 +273,7 @@ def forward_decode(
     *,
     cfg: ModelConfig,
     axis: Optional[str] = None,
+    vocab_sharded: bool = False,
     interpret: Optional[bool] = None,
 ):
     """One continuous-batching decode step.  Returns ``(logits, new_cache)``.
@@ -267,7 +288,7 @@ def forward_decode(
     )
 
     B = tokens.shape[0]
-    x = jnp.take(params["embed"], tokens, axis=0).astype(jnp.bfloat16)
+    x = _embed(params, tokens, axis, vocab_sharded)
     if cfg.scale_embeddings:
         x = x * jnp.asarray(cfg.d_model ** 0.5, dtype=x.dtype)
     positions = (seq_lens - 1).astype(jnp.int32)  # [B]
@@ -299,7 +320,7 @@ def forward_decode(
         x = x + _mlp(h2, blk, axis)
 
     x = rms_norm(x, params["final_norm"], cfg.rms_eps)
-    logits = _logits(x, params, cfg, axis)
+    logits = _logits(x, params, cfg, axis, vocab_sharded)
     return logits, {"k": tuple(k_list), "v": tuple(v_list)}
 
 
@@ -313,6 +334,7 @@ def forward_train(
     *,
     cfg: ModelConfig,
     axis: Optional[str] = None,
+    vocab_sharded: bool = False,
     interpret: Optional[bool] = None,
     use_kernel: bool = False,
     act_dtype=jnp.bfloat16,
@@ -330,7 +352,7 @@ def forward_train(
     )
     attn_fn = flash_attention if use_kernel else flash_attention_reference
     B, S = tokens.shape
-    x = jnp.take(params["embed"], tokens, axis=0).astype(act_dtype)
+    x = _embed(params, tokens, axis, vocab_sharded, dtype=act_dtype)
     if cfg.scale_embeddings:
         x = x * jnp.asarray(cfg.d_model ** 0.5, dtype=x.dtype)
     positions = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32), (B, S))
@@ -386,7 +408,8 @@ def forward_train(
         x.astype(jnp.float32), w.astype(jnp.float32),
         preferred_element_type=jnp.float32,
     )
-    if axis:
+    if axis and vocab_sharded:
+        # training keeps full-vocab logits for the softmax-CE loss
         logits = jax.lax.all_gather(logits, axis, axis=-1, tiled=True)
     if cfg.logit_softcap:
         logits = cfg.logit_softcap * jnp.tanh(logits / cfg.logit_softcap)

@@ -48,9 +48,18 @@ class ShardPlan:
 
     n_model: int
     kv_sharded: bool
+    vocab_sharded: bool = False
+
+    # Below this vocab size the replicated lm_head matmul is cheap enough
+    # that vocab sharding only adds collectives; at 128k-class vocabs
+    # (dv-llama-8b) the sharded head saves V/n x both HBM and MXU time.
+    VOCAB_SHARD_MIN = 32768
 
     @classmethod
-    def for_model(cls, cfg: ModelConfig, n_model: int) -> "ShardPlan":
+    def for_model(
+        cls, cfg: ModelConfig, n_model: int,
+        vocab_sharded: Optional[bool] = None,
+    ) -> "ShardPlan":
         if cfg.n_heads % n_model != 0:
             raise ValueError(
                 f"n_heads={cfg.n_heads} not divisible by TP degree {n_model}"
@@ -59,8 +68,20 @@ class ShardPlan:
             raise ValueError(
                 f"d_ff={cfg.d_ff} not divisible by TP degree {n_model}"
             )
+        if vocab_sharded is None:
+            vocab_sharded = (
+                cfg.vocab_size >= cls.VOCAB_SHARD_MIN
+                and cfg.vocab_size % n_model == 0
+            )
+        elif vocab_sharded and cfg.vocab_size % n_model != 0:
+            raise ValueError(
+                f"vocab_size={cfg.vocab_size} not divisible by TP degree "
+                f"{n_model}"
+            )
         return cls(
-            n_model=n_model, kv_sharded=cfg.n_kv_heads % n_model == 0
+            n_model=n_model,
+            kv_sharded=cfg.n_kv_heads % n_model == 0,
+            vocab_sharded=vocab_sharded,
         )
 
     # -- PartitionSpecs ------------------------------------------------
@@ -68,7 +89,12 @@ class ShardPlan:
     def param_specs(self, cfg: ModelConfig) -> dict:
         kv = P(None, None, MODEL_AXIS) if self.kv_sharded else P(None, None, None)
         specs = {
-            "embed": P(None, None),
+            # vocab sharding splits the embedding's vocab rows (Megatron
+            # style): the tied lm_head then produces LOCAL [.., V/n] logits
+            # and sampling merges per-shard top-k over ICI — the full
+            # [B, V] logits tensor never materializes on any one chip.
+            "embed": (P(MODEL_AXIS, None) if self.vocab_sharded
+                      else P(None, None)),
             "final_norm": P(None),
             "blocks": {
                 "ln1": P(None, None),
@@ -83,8 +109,14 @@ class ShardPlan:
             },
         }
         if not cfg.tie_embeddings:
-            specs["lm_head"] = P(None, None)
+            specs["lm_head"] = (P(None, MODEL_AXIS) if self.vocab_sharded
+                                else P(None, None))
         return specs
+
+    def dfa_spec(self) -> P:
+        """Grammar table [S, V]: sharded on the vocab axis alongside the
+        logits so constrained masks apply shard-locally."""
+        return P(None, MODEL_AXIS) if self.vocab_sharded else P()
 
     def cache_specs(self, n_layers: int) -> dict:
         # per layer [KV, N_PAGES, PAGE, HD] — shard kv heads when possible.

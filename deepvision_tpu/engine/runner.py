@@ -103,6 +103,7 @@ class ModelRunner:
         self._prefill_fns = {}
         self._decode_fns = {}
         self._axis = axis
+        self._vocab_sharded = bool(plan and plan.vocab_sharded)
 
     # ------------------------------------------------------------------
     # Step-function builders
@@ -118,10 +119,11 @@ class ModelRunner:
         param_specs = plan.param_specs(cfg)
         cache_specs = plan.cache_specs(cfg.n_layers)
 
-        in_specs = (
-            param_specs,
-            cache_specs,
-        ) + tuple(P() for _ in range(cache_in_tree_spec))
+        trailing = [P() for _ in range(cache_in_tree_spec)]
+        # the LAST step arg is always the grammar table; under vocab
+        # sharding it shards on its vocab axis alongside the logits
+        trailing[-1] = plan.dfa_spec()
+        in_specs = (param_specs, cache_specs) + tuple(trailing)
         out_specs = (P(), cache_specs)
         return shard_map(
             fn,
@@ -133,15 +135,17 @@ class ModelRunner:
 
     def _build_prefill(self, bucket: int):
         cfg, interpret, axis = self.cfg, self.interpret, self._axis
+        vs = self._vocab_sharded
 
         def step(params, cache, tokens, seq_lens, pages, rng, temp, topk,
                  topp, dstate, dfa):
             logits, cache = model_lib.forward_prefill(
                 params, cache, tokens, seq_lens, pages,
-                cfg=cfg, axis=axis, interpret=interpret,
+                cfg=cfg, axis=axis, vocab_sharded=vs, interpret=interpret,
             )
             tok, _ = sample_tokens_constrained(
-                logits, rng, temp, topk, topp, dstate, dfa)
+                logits, rng, temp, topk, topp, dstate, dfa,
+                axis=axis if vs else None)
             return tok, cache
 
         wrapped = self._wrap(step, 9)
@@ -151,15 +155,17 @@ class ModelRunner:
         """One compiled program serves every prompt length (vs one compile
         per bucket for classic prefill); enables decode interleaving."""
         cfg, interpret, axis = self.cfg, self.interpret, self._axis
+        vs = self._vocab_sharded
 
         def step(params, cache, tokens, starts, seq_lens, bt, rng, temp,
                  topk, topp, dstate, dfa):
             logits, cache = model_lib.forward_prefill_chunk(
                 params, cache, tokens, starts, seq_lens, bt,
-                cfg=cfg, axis=axis, interpret=interpret,
+                cfg=cfg, axis=axis, vocab_sharded=vs, interpret=interpret,
             )
             tok, _ = sample_tokens_constrained(
-                logits, rng, temp, topk, topp, dstate, dfa)
+                logits, rng, temp, topk, topp, dstate, dfa,
+                axis=axis if vs else None)
             return tok, cache
 
         wrapped = self._wrap(step, 10)
@@ -172,6 +178,7 @@ class ModelRunner:
         DFA state rides the scan carry so constrained masks stay exact
         across all fused steps without any host round-trip."""
         cfg, interpret, axis = self.cfg, self.interpret, self._axis
+        vs = self._vocab_sharded
 
         def step(params, cache, tokens, seq_lens, block_tables, rng, temp,
                  topk, topp, dstates, dfa):
@@ -179,10 +186,12 @@ class ModelRunner:
                 toks, lens, states, cache = carry
                 logits, cache = model_lib.forward_decode(
                     params, cache, toks, lens, block_tables,
-                    cfg=cfg, axis=axis, interpret=interpret,
+                    cfg=cfg, axis=axis, vocab_sharded=vs,
+                    interpret=interpret,
                 )
                 new, nstates = sample_tokens_constrained(
-                    logits, rng_step, temp, topk, topp, states, dfa)
+                    logits, rng_step, temp, topk, topp, states, dfa,
+                    axis=axis if vs else None)
                 return (new, lens + 1, nstates, cache), new
 
             rngs = jax.random.split(rng, n_steps)

@@ -3,9 +3,19 @@
 Everything is shape-static and branch-free (``jnp.where`` masks instead of
 Python control flow) so one jitted decode step serves every request's
 per-slot sampling parameters.
+
+Vocab-sharded mode (``axis`` set): each chip holds ``[B, V/n]`` local
+logits (Megatron-style sharded lm_head, see engine/parallel.py).  Sampling
+never materializes the full ``[B, V]`` tensor — each shard takes its local
+top-``MAX_K``, the ``n * MAX_K`` candidates are all-gathered over ICI
+(a few KB, vs MBs for full logits at 128k-class vocabs), and the global
+top-k is selected from the union.  Exact for any effective k ≤ MAX_K, which
+is already the replicated path's candidate truncation.
 """
 
 from __future__ import annotations
+
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -20,19 +30,42 @@ _NEG_INF = -1e30
 MAX_K = 64
 
 
+def _global_candidates(logits: jax.Array, axis: str):
+    """Local [B, V_local] logits -> globally-merged ``(vals, idx)`` top
+    candidates [B, K] with GLOBAL token ids, replicated on every shard."""
+    B, v_local = logits.shape
+    k_local = min(MAX_K, v_local)
+    vals, idx = jax.lax.top_k(logits, k_local)           # [B, K_l] local
+    offset = jax.lax.axis_index(axis) * v_local
+    idx = idx.astype(jnp.int32) + offset                 # global token ids
+    # [B, n*K_l] candidate union over ICI (tiny: K_l<=64 per shard)
+    vals = jax.lax.all_gather(vals, axis, axis=-1, tiled=True)
+    idx = jax.lax.all_gather(idx, axis, axis=-1, tiled=True)
+    k = min(MAX_K, vals.shape[-1])
+    merged_vals, pos = jax.lax.top_k(vals, k)            # [B, K] global
+    merged_idx = jnp.take_along_axis(idx, pos, axis=-1)
+    return merged_vals, merged_idx
+
+
 def sample_tokens(
-    logits: jax.Array,        # [B, V] fp32
+    logits: jax.Array,        # [B, V] fp32 (local [B, V/n] when axis set)
     rng: jax.Array,           # PRNGKey
     temperature: jax.Array,   # [B] (0 => greedy)
     top_k: jax.Array,         # [B] int32 (0 => disabled)
     top_p: jax.Array,         # [B] (1.0 => disabled)
+    *,
+    axis: Optional[str] = None,
 ) -> jax.Array:
-    """Returns ``[B]`` int32 sampled token ids."""
-    B, V = logits.shape
-    k_cand = min(MAX_K, V)
-    top_vals, top_idx = jax.lax.top_k(logits, k_cand)  # [B, K] descending
+    """Returns ``[B]`` int32 sampled token ids (global ids under sharding)."""
+    if axis is not None:
+        top_vals, top_idx = _global_candidates(logits, axis)
+    else:
+        k_cand = min(MAX_K, logits.shape[-1])
+        top_vals, top_idx = jax.lax.top_k(logits, k_cand)  # [B, K] descending
+        top_idx = top_idx.astype(jnp.int32)
+    k_cand = top_vals.shape[-1]
 
-    greedy = top_idx[:, 0].astype(jnp.int32)
+    greedy = top_idx[:, 0]
 
     temp = jnp.maximum(temperature, 1e-4)[:, None]
     scaled = top_vals / temp  # [B, K]
@@ -56,25 +89,48 @@ def sample_tokens(
 
 
 def sample_tokens_constrained(
-    logits: jax.Array,        # [B, V] fp32
+    logits: jax.Array,        # [B, V] fp32 (local [B, V/n] when axis set)
     rng: jax.Array,
     temperature: jax.Array,   # [B]
     top_k: jax.Array,         # [B]
     top_p: jax.Array,         # [B]
     dfa_states: jax.Array,    # [B] int32 — row into dfa_table (0 = FREE)
-    dfa_table: jax.Array,     # [S, V] — next state or -1 (forbidden)
+    dfa_table: jax.Array,     # [S, V] — next state or -1 (forbidden);
+                              # local [S, V/n] shard when axis set
+    *,
+    axis: Optional[str] = None,
 ):
     """Grammar-constrained sampling: logits of forbidden tokens are masked
     before top-k/top-p, and the DFA state advances on-device so fused
     multi-step decode (``lax.scan``) keeps masks exact per step.  Row 0 of
     the table is the all-allowed FREE state, so unconstrained requests
     share the same compiled program.  Returns ``(tokens [B], states [B])``.
+
+    Under vocab sharding both the logits and the DFA table arrive as local
+    vocab shards; the mask applies shard-locally and the next state is
+    resolved by the shard that owns the sampled token (a one-int psum).
     """
-    rows = dfa_table[dfa_states]                       # [B, V]
+    rows = dfa_table[dfa_states]                       # [B, V(_local)]
     allowed = rows >= 0
     masked = jnp.where(allowed, logits, _NEG_INF)
-    tok = sample_tokens(masked, rng, temperature, top_k, top_p)
-    new_states = jnp.take_along_axis(
-        rows, tok[:, None].astype(jnp.int32), axis=-1
-    )[:, 0].astype(jnp.int32)
+    tok = sample_tokens(masked, rng, temperature, top_k, top_p, axis=axis)
+    if axis is not None:
+        v_local = rows.shape[-1]
+        offset = jax.lax.axis_index(axis) * v_local
+        local = tok - offset                           # [B]
+        owns = (local >= 0) & (local < v_local)
+        safe = jnp.clip(local, 0, v_local - 1)
+        ns_local = jnp.take_along_axis(
+            rows, safe[:, None].astype(jnp.int32), axis=-1
+        )[:, 0]
+        # sampled tokens are always allowed => owner's next state >= 0;
+        # non-owners contribute 0, so one psum reconstructs it exactly
+        # (FREE self-loops are state 0, which psum preserves).
+        new_states = jax.lax.psum(
+            jnp.where(owns, ns_local, 0), axis
+        ).astype(jnp.int32)
+    else:
+        new_states = jnp.take_along_axis(
+            rows, tok[:, None].astype(jnp.int32), axis=-1
+        )[:, 0].astype(jnp.int32)
     return tok, new_states
