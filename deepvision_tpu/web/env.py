@@ -97,6 +97,19 @@ class ConfigResolver:
             return self._cast(val, cast) if cast else val
         return default
 
+    def source(self, key: str) -> str:
+        """Where ``key`` currently resolves from: runtime override, process
+        env, config file (.env/site), or code default (reference's config
+        center reports the same provenance, web/server.py:44150-44240)."""
+        with self._lock:
+            if key in self._runtime:
+                return "runtime"
+        if key in os.environ:
+            return "env"
+        if self.mode != "env_only" and key in self._env_files:
+            return "config"
+        return "default"
+
     @staticmethod
     def _cast(val: Any, cast: Optional[Callable]):
         if cast is None:

@@ -56,10 +56,12 @@ def register(app, state):
     @app.route("/api/admin/license-enforcement")
     def enforcement_get(req):
         require_admin(state, req)
+        override = state.meta.site_config_get("license_enforcement")
         return {
             "enabled": state.licenses.enforcement_enabled(),
-            "runtime_override": state.meta.site_config_get(
-                "license_enforcement") is not None,
+            "runtime_override": override is not None,
+            "source": ("runtime" if override is not None
+                       else state.resolver.source("LICENSE_ENFORCEMENT")),
         }
 
     @app.route("/api/admin/license-enforcement", methods=["POST"])
@@ -84,6 +86,8 @@ def register(app, state):
             else state.resolver.get_bool("PRESENTATION_FEATURE_ENABLED",
                                          False),
             "runtime_override": flag is not None,
+            "source": ("runtime" if flag is not None else
+                       state.resolver.source("PRESENTATION_FEATURE_ENABLED")),
         }
 
     @app.route("/api/admin/presentation-feature", methods=["POST"])

@@ -87,6 +87,8 @@ def register(app, state):
         level = user.get("level")
         fmt_capability = {"markdown": "markdown", "docx": "docx",
                           "pdf": "pdf", "appendix": "appendix"}
+        if fmt not in fmt_capability and not body.get("content_base64"):
+            raise HTTPError(400, {"error": f"不支持的导出格式 {fmt}"})
         if not level_allows(level, "exports", fmt_capability.get(fmt, fmt)):
             raise HTTPError(403, {"error": f"当前等级不支持导出 {fmt}"})
         if fmt == "docx":

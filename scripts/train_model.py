@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import argparse
 import os
+import shutil
 import sys
 import time
 
@@ -70,6 +71,9 @@ def main():
                     help="tail fraction of the corpus held out for val loss")
     ap.add_argument("--resume", default="",
                     help="npz checkpoint to initialize from")
+    ap.add_argument("--early-stop", type=int, default=0,
+                    help="stop after N consecutive val evals without "
+                         "improvement (0 = run all steps)")
     ap.add_argument("--dense-attn", action="store_true",
                     help="use the dense XLA attention path (CPU/debug)")
     args = ap.parse_args()
@@ -157,6 +161,8 @@ def main():
     rng = np.random.RandomState(args.seed)
     row = args.seq + 1
     max_start = len(train_tokens) - row - 1
+    best_val, stale = float("inf"), 0
+    best_path = args.out + ".best"
     losses = []
     t_start = time.time()
     for step in range(1, args.steps + 1):
@@ -173,32 +179,50 @@ def main():
                   flush=True)
         if args.save_every and step % args.save_every == 0:
             save(args.out)
-            print(f"step {step}: val_loss={val_loss(trainer.params):.4f} "
+            vl = val_loss(trainer.params)
+            if vl < best_val:
+                best_val, stale = vl, 0
+                shutil.copyfile(args.out, best_path)
+                tag = " [best]"
+            else:
+                stale += 1
+                tag = f" (best {best_val:.4f}, stale {stale})"
+            print(f"step {step}: val_loss={vl:.4f}{tag} "
                   f"(checkpoint -> {args.out})", flush=True)
+            if args.early_stop and stale >= args.early_stop:
+                print(f"early stop at step {step}: no val improvement in "
+                      f"{stale} evals", flush=True)
+                break
 
     save(args.out)
     size = os.path.getsize(args.out) / 1e6
     print(f"saved {args.out} ({size:.1f} MB), "
-          f"final val_loss={val_loss(trainer.params):.4f}", flush=True)
+          f"final val_loss={val_loss(trainer.params):.4f}; "
+          f"best val_loss={best_val:.4f} -> {best_path}", flush=True)
 
-    # quick greedy sample as a sanity check
-    from deepvision_tpu.engine.engine import EngineConfig, LLMEngine
+    # quick greedy sample as a sanity check — never let it tank a finished
+    # training run (the checkpoint is already on disk at this point)
+    try:
+        from deepvision_tpu.engine.engine import EngineConfig, LLMEngine
 
-    eng = LLMEngine(EngineConfig(
-        model=args.model, tokenizer=args.tokenizer, checkpoint_dir=args.out,
-        max_slots=2, num_pages=256, page_size=64, max_pages_per_seq=32,
-    ))
-    prompt = (
-        "你是一名资深需求访谈顾问，正在进行结构化访谈。\n\n"
-        "访谈主题：电商平台会员体系升级\n\n"
-        "当前维度：目标价值（关注要点：核心目标、期望价值）\n\n"
-        "请生成下一个访谈问题，输出 JSON："
-    )
-    text, meta = eng.generate_text(prompt, max_tokens=120, temperature=0.0,
-                                   timeout=600)
-    print("--- sample ---")
-    print(text[:500])
-    eng.shutdown()
+        eng = LLMEngine(EngineConfig(
+            model=args.model, tokenizer=args.tokenizer,
+            checkpoint_dir=args.out,
+            max_slots=2, num_pages=256, page_size=64, max_pages_per_seq=32,
+        ))
+        prompt = (
+            "你是一名资深需求访谈顾问，正在进行结构化访谈。\n\n"
+            "访谈主题：电商平台会员体系升级\n\n"
+            "当前维度：目标价值（关注要点：核心目标、期望价值）\n\n"
+            "请生成下一个访谈问题，输出 JSON："
+        )
+        text, meta = eng.generate_text(
+            prompt, max_tokens=120, temperature=0.0, timeout=600)
+        print("--- sample ---")
+        print(text[:500])
+        eng.shutdown()
+    except Exception as e:  # noqa: BLE001
+        print(f"[sample skipped: {type(e).__name__}: {e}]")
 
 
 if __name__ == "__main__":
