@@ -448,15 +448,53 @@ class JsonTokenDfa:
 
     Attributes:
       table: np.int32 [n_states, vocab] — next state or -1.
+      dist:  np.int32 [n_states] — minimum number of (non-EOS) tokens from
+             each state to an EOS-terminable state.  The decode loop masks
+             transitions whose ``dist`` exceeds the remaining token budget,
+             so a generation that hits ``max_tokens`` still CLOSES all open
+             strings/containers and parses — the reference instead repairs
+             truncated JSON after the fact (web/server.py:21685-21943).
       start: initial state for a constrained generation.
-      FREE:  state 0 — all tokens allowed, self-loop (unconstrained mode).
+      FREE:  state 0 — all tokens allowed, self-loop (unconstrained mode);
+             ``dist[FREE] == 0`` so unconstrained requests are never masked.
     """
 
-    def __init__(self, table: np.ndarray, start: int, accept: int):
+    def __init__(self, table: np.ndarray, start: int, accept: int,
+                 dist: Optional[np.ndarray] = None):
         self.table = table
         self.start = start
         self.accept = accept
         self.FREE = 0
+        if dist is None:
+            dist = self._min_close_dist(table, accept)
+        self.dist = dist
+
+    @staticmethod
+    def _min_close_dist(table: np.ndarray, accept: int) -> np.ndarray:
+        """Per-state shortest path, in sampled tokens, to ACCEPT.
+
+        EOS rides the table like any other token (``build`` wires it from
+        EOS-terminable states into ACCEPT), so "close via EOS" is just
+        another path and needs no special-casing — sampling EOS consumes
+        one budget unit exactly like a content token.  Reverse Bellman
+        relaxation; the diameter is tiny (close ``max_depth`` containers
+        plus a string/number tail), so this converges in ~a dozen sweeps.
+        """
+        n_states = table.shape[0]
+        INF = np.int32(1 << 20)
+        dist = np.full(n_states, INF, dtype=np.int32)
+        dist[0] = 0      # FREE: never force-close unconstrained requests
+        dist[accept] = 0
+        nxt = np.maximum(table, 0)
+        valid = table >= 0
+        for _ in range(n_states):
+            cand = np.where(valid, dist[nxt], INF)
+            best = cand.min(axis=1)
+            new = np.minimum(dist, np.minimum(best, INF - 1) + 1)
+            if np.array_equal(new, dist):
+                break
+            dist = new
+        return dist.astype(np.int32)
 
     @classmethod
     def build(cls, tokenizer, *, max_depth: int = 6, root: str = "value",
@@ -473,14 +511,14 @@ class JsonTokenDfa:
                 content.update(
                     (_id_to_token(tokenizer, tid) or "\x00").encode())
             sig = hashlib.md5(
-                f"json-dfa-v4:{vocab}:{eos}:{max_depth}:{root}:"
+                f"json-dfa-v5:{vocab}:{eos}:{max_depth}:{root}:"
                 f"{content.hexdigest()}".encode()
             ).hexdigest()[:12]
             cache_path = os.path.join(cache_dir, f"json_dfa_{sig}.npz")
             if os.path.isfile(cache_path):
                 data = np.load(cache_path)
                 return cls(data["table"], int(data["start"]),
-                           int(data["accept"]))
+                           int(data["accept"]), dist=data["dist"])
 
         builder = _DfaBuilder(max_depth, root=root)
         n_states = len(builder.trans)
@@ -527,7 +565,7 @@ class JsonTokenDfa:
         if cache_path:
             os.makedirs(cache_dir, exist_ok=True)
             np.savez_compressed(cache_path, table=table, start=builder.start,
-                                accept=builder.ACCEPT)
+                                accept=builder.ACCEPT, dist=dfa.dist)
         return dfa
 
     # -- host-side helpers -------------------------------------------------

@@ -146,6 +146,8 @@ class LLMEngine:
             prefill_chunk_size=cfg.prefill_chunk_size,
             dfa_table=(self.json_dfa.table
                        if self.json_dfa is not None else None),
+            dfa_dist=(self.json_dfa.dist
+                      if self.json_dfa is not None else None),
         )
         self.allocator = PageAllocator(cfg.num_pages)
         self.scheduler = ContinuousBatchingScheduler(

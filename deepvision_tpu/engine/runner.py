@@ -56,6 +56,7 @@ class ModelRunner:
         chunked_prefill: bool = False,
         prefill_chunk_size: int = 256,
         dfa_table=None,
+        dfa_dist=None,
     ):
         # Grammar table for constrained decoding (engine/constrained.py):
         # [S, V_tok] int, next-state or -1.  Padded on the vocab axis to the
@@ -72,6 +73,14 @@ class ModelRunner:
                 pad[0, :] = 0  # FREE row stays all-allowed
                 table = np.concatenate([table, pad], axis=1)
         self._dfa_table = jnp.asarray(table)
+        # per-state min-tokens-to-ACCEPT (budget-aware force-close); a
+        # zero vector degrades gracefully to the plain grammar mask
+        if dfa_dist is None:
+            dist = np.zeros(table.shape[0], dtype=np.int32)
+        else:
+            dist = np.asarray(dfa_dist, dtype=np.int32)
+        self._dfa_dist = jnp.asarray(dist)
+        self._no_budget = 1 << 20  # "unlimited" slot budget sentinel
         self.chunked_prefill = chunked_prefill
         self.prefill_chunk_size = prefill_chunk_size
         self._prefill_chunk_fn = None
@@ -138,17 +147,18 @@ class ModelRunner:
         vs = self._vocab_sharded
 
         def step(params, cache, tokens, seq_lens, pages, rng, temp, topk,
-                 topp, dstate, dfa):
+                 topp, dstate, buds, ddist, dfa):
             logits, cache = model_lib.forward_prefill(
                 params, cache, tokens, seq_lens, pages,
                 cfg=cfg, axis=axis, vocab_sharded=vs, interpret=interpret,
             )
             tok, _ = sample_tokens_constrained(
                 logits, rng, temp, topk, topp, dstate, dfa,
+                budgets=buds, dfa_dist=ddist,
                 axis=axis if vs else None)
             return tok, cache
 
-        wrapped = self._wrap(step, 9)
+        wrapped = self._wrap(step, 11)
         return jax.jit(wrapped, donate_argnums=(1,))
 
     def _build_prefill_chunk(self):
@@ -158,17 +168,18 @@ class ModelRunner:
         vs = self._vocab_sharded
 
         def step(params, cache, tokens, starts, seq_lens, bt, rng, temp,
-                 topk, topp, dstate, dfa):
+                 topk, topp, dstate, buds, ddist, dfa):
             logits, cache = model_lib.forward_prefill_chunk(
                 params, cache, tokens, starts, seq_lens, bt,
                 cfg=cfg, axis=axis, vocab_sharded=vs, interpret=interpret,
             )
             tok, _ = sample_tokens_constrained(
                 logits, rng, temp, topk, topp, dstate, dfa,
+                budgets=buds, dfa_dist=ddist,
                 axis=axis if vs else None)
             return tok, cache
 
-        wrapped = self._wrap(step, 10)
+        wrapped = self._wrap(step, 12)
         return jax.jit(wrapped, donate_argnums=(1,))
 
     def _build_decode(self, n_steps: int):
@@ -181,9 +192,9 @@ class ModelRunner:
         vs = self._vocab_sharded
 
         def step(params, cache, tokens, seq_lens, block_tables, rng, temp,
-                 topk, topp, dstates, dfa):
+                 topk, topp, dstates, buds, ddist, dfa):
             def body(carry, rng_step):
-                toks, lens, states, cache = carry
+                toks, lens, states, rem, cache = carry
                 logits, cache = model_lib.forward_decode(
                     params, cache, toks, lens, block_tables,
                     cfg=cfg, axis=axis, vocab_sharded=vs,
@@ -191,18 +202,19 @@ class ModelRunner:
                 )
                 new, nstates = sample_tokens_constrained(
                     logits, rng_step, temp, topk, topp, states, dfa,
+                    budgets=rem, dfa_dist=ddist,
                     axis=axis if vs else None)
-                return (new, lens + 1, nstates, cache), new
+                return (new, lens + 1, nstates, rem - 1, cache), new
 
             rngs = jax.random.split(rng, n_steps)
-            (last_toks, _, last_states, cache), out = jax.lax.scan(
-                body, (tokens, seq_lens, dstates, cache), rngs
+            (last_toks, _, last_states, _, cache), out = jax.lax.scan(
+                body, (tokens, seq_lens, dstates, buds, cache), rngs
             )
             # final carry rides along so a chained (pipelined) decode call
             # can start from device-resident state without a host sync
             return (out, last_toks, last_states), cache  # out: [n_steps, B]
 
-        wrapped = self._wrap(step, 9)
+        wrapped = self._wrap(step, 11)
         return jax.jit(wrapped, donate_argnums=(1,))
 
     # ------------------------------------------------------------------
@@ -223,18 +235,21 @@ class ModelRunner:
         top_p: float = 1.0,
         start_from: int = 0,
         dfa_state: int = 0,
+        budget: Optional[int] = None,
     ) -> int:
         """Prefill one prompt; returns the first sampled output token id.
 
         ``start_from``: skip this many page-aligned tokens whose KV pages
         are already populated (prefix-cache hit); requires chunked prefill.
         ``dfa_state``: grammar state for the first sampled token (0 = FREE).
+        ``budget``: remaining output-token budget incl. the first token —
+        drives grammar force-close near ``max_tokens``.
         """
         if self.chunked_prefill:
             return self._prefill_chunked(
                 token_ids, page_ids, temperature=temperature,
                 top_k=top_k, top_p=top_p, start_from=start_from,
-                dfa_state=dfa_state,
+                dfa_state=dfa_state, budget=budget,
             )
         n = len(token_ids)
         bucket = pick_bucket(n)
@@ -260,6 +275,8 @@ class ModelRunner:
             jnp.asarray([top_k], jnp.int32),
             jnp.asarray([top_p], jnp.float32),
             jnp.asarray([dfa_state], jnp.int32),
+            jnp.asarray([budget if budget else self._no_budget], jnp.int32),
+            self._dfa_dist,
             self._dfa_table,
         )
         return int(tok[0])
@@ -273,6 +290,7 @@ class ModelRunner:
         top_ks=None,
         top_ps=None,
         dfa_states=None,
+        budgets=None,
     ):
         """Prefill SEVERAL fresh prompts in one device dispatch (one
         compiled program per (bucket, B)).  Under concurrent admission
@@ -309,6 +327,7 @@ class ModelRunner:
         tks = fill(top_ks, 0, np.int32)
         tps = fill(top_ps, 1.0, np.float32)
         dst = fill(dfa_states, 0, np.int32)
+        buds = fill(budgets, self._no_budget, np.int32)
 
         key = (bucket, B)
         fn = self._prefill_fns.get(key)
@@ -318,7 +337,8 @@ class ModelRunner:
             self.params, self.cache, jnp.asarray(toks),
             jnp.asarray(seq_lens), jnp.asarray(pages), self.next_rng(),
             jnp.asarray(temps), jnp.asarray(tks), jnp.asarray(tps),
-            jnp.asarray(dst), self._dfa_table,
+            jnp.asarray(dst), jnp.asarray(buds), self._dfa_dist,
+            self._dfa_table,
         )
         out = np.asarray(tok)
         return [int(out[i]) for i in range(n_real)]
@@ -333,6 +353,7 @@ class ModelRunner:
         top_k: int = 0,
         top_p: float = 1.0,
         dfa_state: int = 0,
+        budget: Optional[int] = None,
     ) -> int:
         """Run ONE prefill chunk ``[start, start + C)``; returns the sampled
         token (meaningful once the final chunk has run).  The scheduler
@@ -360,6 +381,8 @@ class ModelRunner:
             jnp.asarray([top_k], jnp.int32),
             jnp.asarray([top_p], jnp.float32),
             jnp.asarray([dfa_state], jnp.int32),
+            jnp.asarray([budget if budget else self._no_budget], jnp.int32),
+            self._dfa_dist,
             self._dfa_table,
         )
         return int(tok[0])
@@ -374,6 +397,7 @@ class ModelRunner:
         top_p: float = 1.0,
         start_from: int = 0,
         dfa_state: int = 0,
+        budget: Optional[int] = None,
     ) -> int:
         n = len(token_ids)
         C = self.prefill_chunk_size
@@ -382,7 +406,7 @@ class ModelRunner:
             tok = self.prefill_chunk_step(
                 token_ids, page_ids, start,
                 temperature=temperature, top_k=top_k, top_p=top_p,
-                dfa_state=dfa_state,
+                dfa_state=dfa_state, budget=budget,
             )
         return tok
 
@@ -396,12 +420,13 @@ class ModelRunner:
         top_p: np.ndarray,
         n_steps: int = 1,
         dfa_states: Optional[np.ndarray] = None,
+        budgets: Optional[np.ndarray] = None,
     ) -> np.ndarray:
         """Run ``n_steps`` fused decode steps; returns ``[n_steps, B]``
         sampled tokens (callers discard post-EOS tail tokens)."""
         tok, _last_tok, _last_state = self.decode_async(
             tokens, seq_lens, block_tables, temperature, top_k, top_p,
-            n_steps=n_steps, dfa_states=dfa_states,
+            n_steps=n_steps, dfa_states=dfa_states, budgets=budgets,
         )
         return np.asarray(tok)
 
@@ -415,6 +440,7 @@ class ModelRunner:
         top_p: np.ndarray,
         n_steps: int = 1,
         dfa_states=None,           # [B] int32 (numpy OR device array)
+        budgets=None,              # [B] int32 — remaining output tokens
     ):
         """Dispatch ``n_steps`` fused decode steps WITHOUT a host sync.
 
@@ -429,6 +455,8 @@ class ModelRunner:
             fn = self._decode_fns[n_steps] = self._build_decode(n_steps)
         if dfa_states is None:
             dfa_states = np.zeros(len(seq_lens), np.int32)
+        if budgets is None:
+            budgets = np.full(len(seq_lens), self._no_budget, np.int32)
         if not isinstance(tokens, jax.Array):
             tokens = jnp.asarray(tokens, jnp.int32)
         if not isinstance(dfa_states, jax.Array):
@@ -441,6 +469,8 @@ class ModelRunner:
             jnp.asarray(top_k, jnp.int32),
             jnp.asarray(top_p, jnp.float32),
             dfa_states,
+            jnp.asarray(budgets, jnp.int32),
+            self._dfa_dist,
             self._dfa_table,
         )
         return tok, last_tok, last_state

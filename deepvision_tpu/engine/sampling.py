@@ -98,6 +98,10 @@ def sample_tokens_constrained(
     dfa_table: jax.Array,     # [S, V] — next state or -1 (forbidden);
                               # local [S, V/n] shard when axis set
     *,
+    budgets: Optional[jax.Array] = None,   # [B] int32 — tokens remaining,
+                                           # INCLUDING the one sampled now
+    dfa_dist: Optional[jax.Array] = None,  # [S] int32 — min tokens from
+                                           # each state to ACCEPT
     axis: Optional[str] = None,
 ):
     """Grammar-constrained sampling: logits of forbidden tokens are masked
@@ -106,12 +110,28 @@ def sample_tokens_constrained(
     the table is the all-allowed FREE state, so unconstrained requests
     share the same compiled program.  Returns ``(tokens [B], states [B])``.
 
+    When ``budgets``/``dfa_dist`` are given, transitions that cannot reach
+    ACCEPT within the remaining budget are additionally masked — the output
+    force-closes open strings/containers instead of dying unparseable at
+    ``max_tokens`` (the reference repairs truncated JSON after the fact,
+    web/server.py:21685-21943; masking in the kernel makes repair moot).
+    ``dist[FREE] == 0`` keeps unconstrained slots unaffected.  If the
+    budget is ALREADY too small to close (tiny max_tokens), the plain
+    grammar mask applies — same prefix-valid behavior as before.
+
     Under vocab sharding both the logits and the DFA table arrive as local
     vocab shards; the mask applies shard-locally and the next state is
     resolved by the shard that owns the sampled token (a one-int psum).
     """
     rows = dfa_table[dfa_states]                       # [B, V(_local)]
     allowed = rows >= 0
+    if budgets is not None and dfa_dist is not None:
+        nxt_dist = dfa_dist[jnp.maximum(rows, 0)]      # [B, V(_local)]
+        can_close = allowed & (nxt_dist <= (budgets - 1)[:, None])
+        some = can_close.any(axis=-1, keepdims=True)   # [B, 1]
+        if axis is not None:
+            some = jax.lax.psum(some.astype(jnp.int32), axis) > 0
+        allowed = jnp.where(some, can_close, allowed)
     masked = jnp.where(allowed, logits, _NEG_INF)
     tok = sample_tokens(masked, rng, temperature, top_k, top_p, axis=axis)
     if axis is not None:

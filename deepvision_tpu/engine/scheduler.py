@@ -381,6 +381,7 @@ class ContinuousBatchingScheduler:
                         temperature=req.temperature, top_k=req.top_k,
                         top_p=req.top_p, start_from=shared_n,
                         dfa_state=self._start_state(req),
+                        budget=req.max_tokens,
                     )
                 except Exception as e:  # noqa: BLE001
                     self.alloc.free(pages)
@@ -405,6 +406,7 @@ class ContinuousBatchingScheduler:
                 top_ks=[r.top_k for r, _, _ in batch],
                 top_ps=[r.top_p for r, _, _ in batch],
                 dfa_states=[self._start_state(r) for r, _, _ in batch],
+                budgets=[r.max_tokens for r, _, _ in batch],
             )
         except Exception as e:  # noqa: BLE001 — engine must not die
             for req, pages, qw in batch:
@@ -475,6 +477,7 @@ class ContinuousBatchingScheduler:
                     req.prompt_tokens, job.pages, job.pos,
                     temperature=req.temperature, top_k=req.top_k,
                     top_p=req.top_p, dfa_state=self._start_state(req),
+                    budget=req.max_tokens,
                 )
                 job.pos += self.runner.prefill_chunk_size
                 budget -= 1
@@ -516,6 +519,7 @@ class ContinuousBatchingScheduler:
         topk = np.zeros(B, np.int32)
         topp = np.ones(B, np.float32)
         dstates = np.zeros(B, np.int32)
+        budgets = np.full(B, 1 << 20, np.int32)
 
         retire_now: List[_ActiveSeq] = []
         for slot, seq in self._active.items():
@@ -548,7 +552,15 @@ class ContinuousBatchingScheduler:
             topk[slot] = seq.req.top_k
             topp[slot] = seq.req.top_p
             dstates[slot] = max(seq.dfa_state, 0)
-        return (tokens, lens, bt, temps, topk, topp, dstates), retire_now
+            # output-token budget incl. the next sampled token; drives
+            # grammar force-close so json_mode parses even at max_tokens.
+            # ahead>0: tokens promised to in-flight chained calls count as
+            # already generated (clamped — an overshooting chain's tokens
+            # for finished slots are discarded at readback anyway)
+            budgets[slot] = max(
+                seq.req.max_tokens - len(seq.generated) - ahead, 1)
+        return (tokens, lens, bt, temps, topk, topp, dstates,
+                budgets), retire_now
 
     def _fail_active(self, e: Exception) -> None:
         """A device/dispatch error fails the ACTIVE requests but keeps the
@@ -605,13 +617,13 @@ class ContinuousBatchingScheduler:
             self._retire(seq, "length")
         if not self._active or batch is None:
             return bool(retired)
-        tokens, lens, bt, temps, topk, topp, dstates = batch
+        tokens, lens, bt, temps, topk, topp, dstates, budgets = batch
 
         if not (self.pipeline_decode and K > 1 and not self._prefilling):
             try:
                 out = self.runner.decode(
                     tokens, lens, bt, temps, topk, topp, n_steps=K,
-                    dfa_states=dstates,
+                    dfa_states=dstates, budgets=budgets,
                 )  # [K, B]
             except Exception as e:  # noqa: BLE001 — engine must not die
                 self._fail_active(e)
@@ -626,7 +638,7 @@ class ContinuousBatchingScheduler:
         try:
             tok_dev, last_tok, last_state = self.runner.decode_async(
                 tokens, lens, bt, temps, topk, topp, n_steps=K,
-                dfa_states=dstates,
+                dfa_states=dstates, budgets=budgets,
             )
         except Exception as e:  # noqa: BLE001
             self._fail_active(e)
@@ -652,11 +664,11 @@ class ContinuousBatchingScheduler:
                 for seq, reason in self._consume_decode_out(out, K):
                     self._retire(seq, reason)
                 return True
-            _, lens2, bt2, temps2, topk2, topp2, _ = nxt
+            _, lens2, bt2, temps2, topk2, topp2, _, buds2 = nxt
             try:
                 nxt_dev = self.runner.decode_async(
                     last_tok, lens2, bt2, temps2, topk2, topp2, n_steps=K,
-                    dfa_states=last_state,
+                    dfa_states=last_state, budgets=buds2,
                 )
             except Exception as e:  # noqa: BLE001
                 self._fail_active(e)

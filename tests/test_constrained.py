@@ -122,6 +122,48 @@ def test_special_tokens_forbidden_in_grammar(bpe_dfa):
         assert (dfa.table[1:, sid] == -1).all(), sid
 
 
+def test_close_distance_properties(bpe_dfa):
+    """dist[s] = min tokens from s to ACCEPT (EOS rides the table)."""
+    tok, dfa = bpe_dfa
+    assert dfa.dist[dfa.FREE] == 0          # unconstrained never masked
+    assert dfa.dist[dfa.accept] == 0
+    # start ("value" root): a single-token complete value (e.g. "0") + EOS
+    # cannot beat 1; every reachable state closes in a bounded token count
+    assert 1 <= dfa.dist[dfa.start] <= 4
+    # deeper open structure => monotonically-growing (or equal) distance
+    shallow = dfa.walk(tok.encode('{"a": "x'))
+    deep = dfa.walk(tok.encode('{"a": [{"b": "x'))
+    assert 0 < dfa.dist[shallow] <= dfa.dist[deep]
+    # distances are finite everywhere the grammar can still move
+    live = (dfa.table >= 0).any(axis=1)
+    assert (dfa.dist[np.nonzero(live)[0]] < (1 << 20)).all()
+
+
+def test_force_close_policy_parses_at_any_budget(bpe_dfa):
+    """Simulated worst-case decode loop with the EXACT masking rule from
+    sampling.py: at every budget, a random policy must produce text that
+    parses once the budget is spent."""
+    tok, dfa = bpe_dfa
+    rng = np.random.RandomState(3)
+    for budget in (4, 7, 12, 30, 80):
+        state, out = dfa.start, []
+        remaining = budget
+        while remaining > 0:
+            allowed = dfa.table[state] >= 0
+            nxt = np.maximum(dfa.table[state], 0)
+            can_close = allowed & (dfa.dist[nxt] <= remaining - 1)
+            mask = can_close if can_close.any() else allowed
+            scores = rng.rand(tok.vocab_size)
+            tid = int(np.argmax(np.where(mask, scores, -1.0)))
+            remaining -= 1
+            if tid == tok.eos_id:
+                break
+            out.append(tid)
+            state = int(dfa.table[state, tid])
+        if budget >= int(dfa.dist[dfa.start]):
+            json.loads(tok.decode(out))  # must parse at ANY such budget
+
+
 def test_token_bytes_roundtrip():
     assert token_bytes("Ġ\"") == b' "'
     assert token_bytes("åľ¨") == "在".encode("utf-8")
@@ -141,12 +183,10 @@ def test_engine_json_mode_parses():
             json_mode=True, timeout=300,
         )
         assert meta["json_constrained"] is True
-        if meta["finish_reason"] == "stop":
-            json.loads(text)  # grammar guarantee
-        else:  # hit max_tokens mid-value: must still be a valid prefix
-            assert eng.json_dfa.walk(
-                [t for t in eng.tokenizer.encode(text, add_bos=False)]
-            ) != -1 or True  # byte re-encode may differ; reason recorded
+        # grammar guarantee now covers BOTH finish reasons: the budget-aware
+        # force-close masks transitions that cannot reach ACCEPT within the
+        # remaining tokens, so even a max_tokens cut parses
+        json.loads(text)
     finally:
         eng.shutdown()
 
