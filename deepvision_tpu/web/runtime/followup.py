@@ -252,10 +252,12 @@ def should_follow_up(
         ai_score = None
         if gateway is not None:
             try:
+                from deepvision_tpu.web.runtime import prompt_formats
+
                 text = gateway.call_model(
-                    f"请评估以下回答的信息量（0-1 JSON {{\"score\": x}}）：\n"
-                    f"问：{last_entry.get('question')}\n"
-                    f"答：{last_entry.get('answer')}",
+                    prompt_formats.assessment_prompt(
+                        last_entry.get("question") or "",
+                        last_entry.get("answer") or ""),
                     call_type="assessment",
                     context={"answer": last_entry.get("answer", "")},
                 )

@@ -15,6 +15,7 @@ import re
 import time
 from typing import Dict, List, Optional
 
+from deepvision_tpu.web.runtime import prompt_formats
 from deepvision_tpu.web.runtime.followup import classify_evidence
 
 REPORT_PROFILES = {
@@ -705,44 +706,32 @@ def generate_report_v3(
 
 
 def _draft_prompt(pack: dict) -> str:
-    facts_lines = "\n".join(
-        f"[{f['q_id']}]({f['evidence_class']}) 问：{f['question']} "
-        f"答：{f.get('answer') or ''} {f.get('rationale') or ''}"
+    """Serving-side draft prompt — MUST stay in the training distribution,
+    so it renders through the shared canonical builder (prompt_formats.py)
+    that build_corpus.py also uses. Reference draft prompt :22430."""
+    facts = [
+        (f["q_id"], f["question"] or "",
+         ((f.get("answer") or "") +
+          (f" {f['rationale']}" if f.get("rationale") else "")))
         for f in pack["facts"]
-    )
-    docs = "\n".join(
-        f"- {d['name']}: {d['summary']}" for d in pack.get("documents", [])
-    )
-    return (
-        f"你是资深需求分析师。基于以下访谈证据撰写结构化报告草稿，输出 JSON，"
-        f"字段：overview/needs/analysis{{customer_needs,business_flow,"
-        f"tech_constraints,project_constraints}}/visualizations{{"
-        f"priority_quadrant_mermaid,business_flow_mermaid,demand_pie_mermaid,"
-        f"architecture_mermaid}}/solutions/risks/actions/open_questions/"
-        f"evidence_index。列表项需携带 refs 引用证据编号。\n\n"
-        f"主题：{pack['topic']}\n说明：{pack.get('description', '')}\n\n"
-        f"访谈证据：\n{facts_lines}\n\n参考文档：\n{docs}"
+    ]
+    return prompt_formats.report_draft_prompt(
+        pack["topic"], facts,
+        description=pack.get("description", ""),
+        documents=[(d["name"], d["summary"])
+                   for d in pack.get("documents", []) if d.get("name")],
     )
 
 
 def _review_prompt(draft: dict, issues: List[dict]) -> str:
-    return (
-        "请审查以下报告草稿 JSON，输出 JSON："
-        '{"pass": bool, "quality_score": 0-1, "issues": '
-        '[{"type","severity","message","target"}], "patch": {可直接合并的'
-        "修正字段}}。\n\n已知问题：" + json.dumps(issues, ensure_ascii=False)
-        + "\n\n草稿：" + json.dumps(draft, ensure_ascii=False)[:8000]
-    )
+    return prompt_formats.report_review_prompt(
+        json.dumps(draft, ensure_ascii=False)[:8000], issues)
 
 
 def _repair_reprompt(draft: dict, issues: list) -> str:
     """Issue-driven re-prompt (reference repair-reprompt :23307)."""
-    return (
-        "以下报告草稿存在评审问题，请修复后输出完整修正版 JSON"
-        "（保持字段结构不变，仅修正问题项）。\n\n问题列表："
-        + json.dumps(issues[:10], ensure_ascii=False)
-        + "\n\n草稿：" + json.dumps(draft, ensure_ascii=False)[:8000]
-    )
+    return prompt_formats.report_repair_prompt(
+        json.dumps(draft, ensure_ascii=False)[:8000], issues[:10])
 
 
 def salvage_draft(draft: dict, pack: dict) -> dict:

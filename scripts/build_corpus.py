@@ -32,6 +32,8 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from deepvision_tpu.web.runtime import prompt_formats  # noqa: E402
+
 SCENARIO_DIR = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     "resources", "scenarios", "builtin",
@@ -567,23 +569,38 @@ def _mermaid(rng, topic):
 
 
 def gen_report_example(rng, scenarios):
+    """Report-draft examples rendered through the SAME canonical builder
+    the serving pipeline uses (prompt_formats.report_draft_prompt — used
+    by report_v3._draft_prompt), so served prompts are always
+    in-distribution. Optional 主题说明 / 参考文档 sections appear with the
+    sampling rates the server actually exhibits."""
     topic = rng.choice(TOPICS)
     n_q = rng.randint(3, 9)
     q_ids = [f"Q{i + 1}" for i in range(n_q)]
     facts = []
     for qid in q_ids:
         dim = rng.choice(rng.choice(scenarios)["dimensions"])
-        facts.append(
-            f"[{qid}] 问：{_question_json(rng, dim)['question']}"
-            f" 答：{_answer_text(rng)}"
-        )
-    prompt = (
-        f"你是一名需求分析专家。请基于以下访谈证据，为主题「{topic}」撰写结构化报告草稿，"
-        "输出 JSON，键：overview, needs, analysis, visualizations, solutions, "
-        "risks, actions, open_questions, evidence_index。\n访谈证据：\n"
-        + "\n".join(facts)
-    )
+        answer = _answer_text(rng)
+        if rng.random() < 0.2:   # serving merges rationale_text into 答
+            answer += " " + _fill(rng, rng.choice(ANSWER_FOLLOWUPS))
+        facts.append((qid, _question_json(rng, dim)["question"], answer))
+    description = (_fill(rng, rng.choice(TOPIC_DESCS))
+                   if rng.random() < 0.3 else "")
+    documents = None
+    if rng.random() < 0.25:
+        documents = [
+            (rng.choice(DOC_NAMES), _fill(rng, rng.choice(DOC_SUMMARIES)))
+            for _ in range(rng.randint(1, 2))
+        ]
+    prompt = prompt_formats.report_draft_prompt(
+        topic, facts, description=description, documents=documents)
+    draft = _report_draft(rng, topic, q_ids, n_q)
+    return prompt + "\n" + json.dumps(draft, ensure_ascii=False)
 
+
+def _report_draft(rng, topic, q_ids, n_q):
+    """Target draft JSON whose structure matches DRAFT_REQUIRED_KEYS and
+    the nested analysis/visualizations shape report_v3 validates."""
     def refs():
         return sorted(rng.sample(q_ids, rng.randint(1, min(2, n_q))))
 
@@ -664,33 +681,91 @@ def gen_report_example(rng, scenarios):
                            for _ in range(rng.randint(1, 3))],
         "evidence_index": q_ids,
     }
-    return prompt + "\n" + json.dumps(draft, ensure_ascii=False)
+    return draft
 
 
-def gen_review_example(rng):
+def _review_issues(rng, max_n=2):
     issues = []
-    if rng.random() < 0.6:
+    for _ in range(rng.randint(1, max_n)):
         issues.append({
             "type": rng.choice(["missing_ref", "weak_evidence",
-                                "inconsistent"]),
+                                "inconsistent", "too_short"]),
             "severity": rng.choice(["low", "medium", "high"]),
             "message": rng.choice([
                 "部分结论缺少访谈证据编号支撑，建议补充 refs。",
                 "风险章节与约束描述存在矛盾，请核对后统一。",
                 "行动项缺少负责人与时限，建议补全要素。",
                 "需求优先级与访谈中表达的紧迫程度不一致。",
+                "总览篇幅不足，未覆盖核心发现与约束。",
             ]),
-            "target": rng.choice(["needs", "solutions", "risks", "actions"]),
+            "target": rng.choice(["overview", "needs", "solutions",
+                                  "risks", "actions"]),
         })
-    prompt = (
-        "你是一名报告评审专家。请检查以下报告草稿的证据引用与一致性，"
-        '输出 JSON：{"issues": [{"type", "severity", "message", "target"}], '
-        '"pass": bool}\n草稿摘要：'
-        + rng.choice(PAIN_POINTS) + "；" + rng.choice(GOALS)
-    )
-    target = json.dumps({"issues": issues, "pass": not issues},
-                        ensure_ascii=False)
+    return issues
+
+
+def gen_review_example(rng, scenarios):
+    """Review examples through prompt_formats.report_review_prompt — the
+    exact serving prompt of report_v3._review_prompt, with the full
+    response contract (pass / quality_score / issues / patch)."""
+    topic = rng.choice(TOPICS)
+    n_q = rng.randint(2, 4)
+    q_ids = [f"Q{i + 1}" for i in range(n_q)]
+    draft = _report_draft(rng, topic, q_ids, n_q)
+    has_issues = rng.random() < 0.55
+    issues = _review_issues(rng) if has_issues else []
+    known = issues[:1] if issues and rng.random() < 0.5 else []
+    prompt = prompt_formats.report_review_prompt(
+        json.dumps(draft, ensure_ascii=False)[:2400], known)
+    patch = {}
+    if has_issues and rng.random() < 0.6:
+        tgt = issues[0]["target"]
+        if tgt == "overview":
+            patch["overview"] = draft["overview"] + _fill(
+                rng, rng.choice(PROSE_TEMPLATES))[:80]
+        elif tgt in draft and isinstance(draft[tgt], list) and draft[tgt]:
+            fixed = dict(draft[tgt][0])
+            fixed["refs"] = sorted(set(
+                (fixed.get("refs") or []) + [rng.choice(q_ids)]))
+            patch[tgt] = [fixed] + draft[tgt][1:]
+    target = json.dumps({
+        "pass": not has_issues,
+        "quality_score": round(rng.uniform(0.75, 0.95) if not has_issues
+                               else rng.uniform(0.4, 0.7), 2),
+        "issues": issues,
+        "patch": patch,
+    }, ensure_ascii=False)
     return prompt + "\n" + target
+
+
+def gen_repair_example(rng, scenarios):
+    """Repair re-prompt examples (prompt_formats.report_repair_prompt —
+    serving report_v3._repair_reprompt). The target is the full corrected
+    draft with the flaw fixed and structure unchanged."""
+    topic = rng.choice(TOPICS)
+    n_q = rng.randint(2, 4)
+    q_ids = [f"Q{i + 1}" for i in range(n_q)]
+    fixed = _report_draft(rng, topic, q_ids, n_q)
+    broken = json.loads(json.dumps(fixed))  # deep copy
+    flaw = rng.choice(["refs", "overview", "open_questions"])
+    if flaw == "refs" and broken["needs"]:
+        broken["needs"][0]["refs"] = []
+        issues = [{"type": "missing_ref", "severity": "medium",
+                   "message": "需求项缺少证据引用，请补充 refs。",
+                   "target": "needs"}]
+    elif flaw == "overview":
+        broken["overview"] = broken["overview"][:24]
+        issues = [{"type": "too_short", "severity": "medium",
+                   "message": "总览篇幅不足，未覆盖核心发现与约束。",
+                   "target": "overview"}]
+    else:
+        broken["open_questions"] = []
+        issues = [{"type": "incomplete", "severity": "low",
+                   "message": "缺少待澄清问题列表，请补充。",
+                   "target": "open_questions"}]
+    prompt = prompt_formats.report_repair_prompt(
+        json.dumps(broken, ensure_ascii=False)[:2400], issues)
+    return prompt + "\n" + json.dumps(fixed, ensure_ascii=False)
 
 
 def gen_summary_example(rng):
@@ -720,17 +795,16 @@ def gen_search_decision_example(rng):
     return prompt + "\n" + target
 
 
-def gen_assessment_example(rng):
+def gen_assessment_example(rng, scenarios):
+    dim = rng.choice(rng.choice(scenarios)["dimensions"])
+    question = _question_json(rng, dim)["question"]
     ans = _answer_text(rng)
     # score correlates with answer length/specificity so the model learns
     # a signal, not noise
     rich = len(ans) > 60
     score = round(rng.uniform(0.55, 0.95) if rich
                   else rng.uniform(0.2, 0.6), 2)
-    prompt = (
-        "请为以下访谈回答的信息含量打分(0-1)，输出 JSON "
-        '{"score": 数值, "reason": "简短理由"}：' + ans
-    )
+    prompt = prompt_formats.assessment_prompt(question, ans)
     target = json.dumps(
         {"score": score,
          "reason": "回答包含具体场景与量化信息" if score > 0.6
@@ -852,14 +926,15 @@ def gen_prose(rng):
 GENS = [
     (gen_question_example, 0.28, True),
     (gen_report_example, 0.16, True),
-    (gen_review_example, 0.06, False),
+    (gen_review_example, 0.05, True),
+    (gen_repair_example, 0.03, True),
     (gen_summary_example, 0.10, False),
     (gen_search_decision_example, 0.05, False),
-    (gen_assessment_example, 0.06, False),
+    (gen_assessment_example, 0.06, True),
     (gen_chat_example, 0.08, True),
     (gen_scenario_example, 0.06, True),
     (gen_solution_copy_example, 0.05, False),
-    (gen_prose, 0.10, False),
+    (gen_prose, 0.08, False),
 ]
 
 
