@@ -52,6 +52,15 @@
     state.view = name;
     state.viewArg = arg;
     active = name;
+    // deep-linkable hash (#view or #view/arg); object args use their
+    // natural string key so reloads land back on the same resource
+    const key = typeof arg === "string" ? arg
+      : (arg && (arg.report_name || arg.session_id)) || "";
+    const hash = "#" + name + (key ? "/" + encodeURIComponent(key) : "");
+    if (location.hash !== hash) {
+      suppressHash = true;
+      location.hash = hash;
+    }
     document.querySelectorAll("nav.tabs button").forEach((b) => {
       b.classList.toggle("active", b.dataset.view === name);
     });
@@ -110,12 +119,31 @@
   }
 
   // ---- boot ---------------------------------------------------------
+  let suppressHash = false;
+
+  function parseHash() {
+    const h = (location.hash || "").replace(/^#/, "");
+    if (!h) return null;
+    const i = h.indexOf("/");
+    const name = i === -1 ? h : h.slice(0, i);
+    const arg = i === -1 ? undefined : decodeURIComponent(h.slice(i + 1));
+    return views[name] ? { name, arg } : null;
+  }
+
   async function boot() {
     document.querySelectorAll("nav.tabs button").forEach((b) => {
       b.onclick = () => show(b.dataset.view);
     });
     await refreshUser();
-    show("sessions");
+    window.addEventListener("hashchange", () => {
+      if (suppressHash) { suppressHash = false; return; }
+      const t = parseHash();
+      if (t && t.name !== state.view) show(t.name, t.arg);
+      else if (t && t.arg !== undefined && t.arg !== state.viewArg &&
+               typeof state.viewArg !== "object") show(t.name, t.arg);
+    });
+    const target = parseHash();
+    show(target ? target.name : "sessions", target ? target.arg : undefined);
   }
 
   window.DV = {

@@ -43,6 +43,7 @@
             <div class="progress-track"><div class="progress-bar" id="iv-progress" style="width:0%"></div></div>
           </div>
         </div>
+        <div class="row" id="iv-dims" style="margin-top:10px;flex-wrap:wrap"></div>
       </div>
       <div class="card" id="iv-question-card"></div>
       <div class="card" id="iv-extra" style="display:none"></div>
@@ -97,6 +98,54 @@
       `${Math.min(100, Math.round((done / total) * 100))}%`;
     root.querySelector("#iv-progress-label").textContent =
       `维度 ${done}/${total} · 已答 ${answered} 题`;
+    renderDimChips();
+  }
+
+  // per-dimension coverage chips; click to inspect / force-complete
+  // (reference dimension panel + complete-dimension action)
+  function renderDimChips() {
+    const box = root.querySelector("#iv-dims");
+    if (!box) return;
+    const dims = (session.scenario_config || {}).dimensions || [];
+    const state = session.dimensions || {};
+    box.innerHTML = "";
+    dims.forEach((d) => {
+      const st = state[d.id] || {};
+      const pct = Math.round(Math.min(1, st.coverage || 0) * 100);
+      const chip = document.createElement("button");
+      chip.className = "small " + (st.completed ? "" : "secondary");
+      chip.textContent = `${d.name || d.id} ${st.completed ? "✓" : pct + "%"}`;
+      chip.title = st.completed ? "已完成" : `覆盖度 ${pct}%，点击查看`;
+      chip.onclick = () => dimDetail(d, st);
+      box.appendChild(chip);
+    });
+  }
+
+  function dimDetail(d, st) {
+    const items = (st.items || []).slice(-6).map((it) =>
+      `<li class="muted">${DVMarkdown.esc(
+        typeof it === "string" ? it : (it.summary || it.question || ""))}</li>`
+    ).join("");
+    const m = DV.modal(`
+      <h2>${DVMarkdown.esc(d.name || d.id)}</h2>
+      <p class="muted">${DVMarkdown.esc(d.description || "")}</p>
+      <p>覆盖度：${Math.round(Math.min(1, st.coverage || 0) * 100)}%
+        ${st.completed ? '<span class="badge ok">已完成</span>' : ""}</p>
+      ${items ? `<ul>${items}</ul>` : ""}
+      ${!st.completed
+        ? '<div class="row"><button class="secondary" id="dim-done">标记该维度完成</button></div>'
+        : ""}`);
+    const btn = m.querySelector("#dim-done");
+    if (btn) btn.onclick = async () => {
+      if (!confirm("跳过该维度的剩余问题并标记完成？")) return;
+      try {
+        await DVApi.post(`/api/sessions/${sessionId}/complete-dimension`,
+          { dimension: d.id });
+        DV.closeModal();
+        await refreshSession();
+        nextQuestion();
+      } catch (e) { DV.toast(e.message, "err"); }
+    };
   }
 
   function renderLog() {
@@ -246,6 +295,12 @@
       <div class="muted">${multi ? "可多选" : "单选"}${needReason ? " · 请补充理由" : ""}
         ${q.ai_generated === false ? ' · <span class="badge warn">降级问题</span>' : ""}</div>
       <div id="iv-options"></div>
+      ${(q.options || []).length
+        ? `<button class="small ghost" id="iv-custom-toggle">✏️ 以上都不合适，自定义回答</button>
+           <label class="field" id="iv-custom-box" style="display:none">自定义回答
+             <textarea id="iv-custom" rows="2"
+               placeholder="用自己的话描述实际情况"></textarea></label>`
+        : ""}
       <label class="field" id="iv-reason-box" style="display:${needReason ? "block" : "none"}">
         补充说明${needReason ? "（必填）" : ""}
         <textarea id="iv-reason" rows="2"
@@ -280,6 +335,45 @@
       optBox.appendChild(div);
     });
 
+    const customToggle = card.querySelector("#iv-custom-toggle");
+    if (customToggle) {
+      customToggle.onclick = () => {
+        const box = card.querySelector("#iv-custom-box");
+        box.style.display = box.style.display === "none" ? "block" : "none";
+        if (box.style.display === "block") box.querySelector("textarea").focus();
+      };
+    }
+
+    // draft persistence across reloads (reference keeps unsent answer
+    // state client-side so a refresh mid-question loses nothing)
+    const draftKey = `dv-draft-${sessionId}`;
+    try {
+      const draft = JSON.parse(localStorage.getItem(draftKey) || "null");
+      if (draft && draft.question === q.question) {
+        selected = new Set(draft.picked || []);
+        optBox.querySelectorAll(".option").forEach((n, i) => {
+          n.classList.toggle("selected", selected.has((q.options || [])[i]));
+        });
+        if (draft.reason) card.querySelector("#iv-reason").value = draft.reason;
+        if (draft.custom && card.querySelector("#iv-custom")) {
+          card.querySelector("#iv-custom-box").style.display = "block";
+          card.querySelector("#iv-custom").value = draft.custom;
+        }
+      }
+    } catch (e) { /* corrupted draft is ignorable */ }
+    const saveDraft = () => {
+      try {
+        localStorage.setItem(draftKey, JSON.stringify({
+          question: q.question,
+          picked: Array.from(selected),
+          reason: (card.querySelector("#iv-reason") || {}).value || "",
+          custom: (card.querySelector("#iv-custom") || {}).value || "",
+        }));
+      } catch (e) { /* quota/private mode */ }
+    };
+    card.addEventListener("click", saveDraft);
+    card.addEventListener("input", saveDraft);
+
     card.querySelector("#iv-submit").onclick = () => submitAnswer(q);
     const skip = card.querySelector("#iv-skip");
     if (skip) skip.onclick = async () => {
@@ -305,8 +399,9 @@
   async function submitAnswer(q) {
     const err = root.querySelector("#iv-q-err");
     const reason = (root.querySelector("#iv-reason") || {}).value || "";
+    const custom = ((root.querySelector("#iv-custom") || {}).value || "").trim();
     const picked = Array.from(selected);
-    let answer = picked.join("；");
+    let answer = custom || picked.join("；");
     if (!answer && reason) answer = reason;
     if (!answer) { err.textContent = "请选择选项或填写回答"; return; }
     if (q.answer_mode === "pick_with_reason" && q.requires_rationale &&
@@ -317,6 +412,7 @@
     const btn = root.querySelector("#iv-submit");
     btn.disabled = true;
     try {
+      try { localStorage.removeItem(`dv-draft-${sessionId}`); } catch (e) {}
       await DVApi.post(`/api/sessions/${sessionId}/submit-answer`, {
         question: q.question,
         answer,
@@ -421,7 +517,20 @@
       const chip = document.createElement("span");
       chip.className = "doc-chip";
       chip.innerHTML = `📄 ${DVMarkdown.esc(d.name || "")}
-        <span class="muted">${d.summary ? "已摘要" : ""}</span>`;
+        <span class="muted">${d.summary ? "已摘要" : ""}</span>
+        <button class="small ghost" style="color:var(--err)"
+          title="删除">✕</button>`;
+      chip.querySelector("button").onclick = async () => {
+        if (!confirm(`删除文档「${d.name}」？`)) return;
+        try {
+          await DVApi.del(`/api/sessions/${sessionId}/documents/` +
+            encodeURIComponent(d.name));
+          DV.toast("已删除", "ok");
+          await refreshSession();
+          DV.closeModal();
+          showDocs();
+        } catch (e) { DV.toast(e.message, "err"); }
+      };
       list.appendChild(chip);
     });
     m.querySelector("#doc-upload").onclick = async () => {
