@@ -45,7 +45,15 @@ LICENSE_SCHEMA = [
 
 
 class LicenseError(Exception):
-    pass
+    """Activation/admin failure with the reference's HTTP semantics
+    (web/server.py:10644-10672: 403 for revoked/replaced, 409 when the
+    code is bound to another account)."""
+
+    def __init__(self, message: str, *, status_code: int = 400,
+                 error_code: str = "license_invalid"):
+        super().__init__(message)
+        self.status_code = status_code
+        self.error_code = error_code
 
 
 class LicenseService:
@@ -143,14 +151,25 @@ class LicenseService:
             ).fetchone()
             if row is None:
                 raise LicenseError("无效的激活码")
+            # terminal statuses refuse re-activation outright (reference
+            # web/server.py:10644-10652 returns 403 for revoked AND
+            # replaced — a replaced code must never rebind)
             if row["status"] == "revoked":
-                raise LicenseError("激活码已被撤销")
-            if row["status"] == "active" and row["user_id"] not in (
-                None, user_id
-            ):
-                raise LicenseError("激活码已被其他账号使用")
+                raise LicenseError("激活码已被撤销", status_code=403,
+                                   error_code="license_revoked")
+            if row["status"] == "replaced":
+                raise LicenseError("激活码已被新激活码替换，无法再次使用",
+                                   status_code=403,
+                                   error_code="license_replaced")
+            # a code ever bound to a different account stays bound,
+            # whatever its status (reference :10656-10672 returns 409)
+            if row["user_id"] not in (None, user_id):
+                raise LicenseError(
+                    "激活码已被其他账号使用", status_code=409,
+                    error_code="license_bound_to_other_user")
             if row["expires_at"] and row["expires_at"] < utc_now_iso():
-                raise LicenseError("激活码已过期")
+                raise LicenseError("激活码已过期", status_code=403,
+                                   error_code="license_expired")
             # a new activation replaces the user's previous license; the
             # old one is released as 'replaced' (reference
             # test_new_license_replaces_old_license_and_switches_level).

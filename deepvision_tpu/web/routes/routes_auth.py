@@ -228,7 +228,8 @@ def register(app, state):
         try:
             lic = state.licenses.activate(code, user["user_id"])
         except LicenseError as e:
-            raise HTTPError(400, {"error": str(e)})
+            raise HTTPError(e.status_code, {
+                "error": str(e), "error_code": e.error_code})
         if lic.get("level"):
             state.auth.set_user_level(user["user_id"], lic["level"])
         return {"ok": True, "license": lic}

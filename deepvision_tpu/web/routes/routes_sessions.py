@@ -75,13 +75,16 @@ def register(app, state):
         scenario = state.scenarios.get(scenario_id, state.instance_scope)
         if scenario is None:
             raise HTTPError(404, {"error": f"场景不存在: {scenario_id}"})
-        # per-level session cap (reference level capability map
-        # web/server.py:8738-9019): experience 5 / standard 50 / pro ∞
+        # per-level cap on CONCURRENT in-progress sessions — an
+        # intentional addition over the reference capability map
+        # (web/server.py:8738-9019 has no session limit); counting only
+        # in_progress sessions means completing/deleting interviews
+        # frees quota rather than hard-blocking low tiers for life
         from deepvision_tpu.web.levels import level_allows
 
         _, existing = state.sessions.list_index(
             str(user["user_id"]), state.instance_scope,
-            page=1, page_size=1,
+            page=1, page_size=1, status="in_progress",
         )
         if not level_allows(user.get("level"), "max_sessions", existing):
             raise HTTPError(403, {

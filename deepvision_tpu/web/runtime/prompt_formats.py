@@ -28,6 +28,14 @@ from typing import List, Optional, Sequence, Tuple
 DRAFT_KEYS = ("overview, needs, analysis, visualizations, solutions, "
               "risks, actions, open_questions, evidence_index")
 
+# Single truncation budget for the draft JSON embedded in review/repair
+# prompts, shared by serving (report_v3._review_prompt/_repair_reprompt)
+# and corpus generation (build_corpus.gen_review/repair_example) so long
+# served drafts stay inside the training length distribution.  4000 chars
+# ≈ 1.1k BPE tokens, leaving room for issues + the patch target inside
+# the 2048-token training window.
+REVIEW_DRAFT_TRUNC = 4000
+
 
 def report_draft_prompt(
     topic: str,

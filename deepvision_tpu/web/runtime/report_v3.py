@@ -725,13 +725,15 @@ def _draft_prompt(pack: dict) -> str:
 
 def _review_prompt(draft: dict, issues: List[dict]) -> str:
     return prompt_formats.report_review_prompt(
-        json.dumps(draft, ensure_ascii=False)[:8000], issues)
+        json.dumps(draft, ensure_ascii=False)
+        [:prompt_formats.REVIEW_DRAFT_TRUNC], issues)
 
 
 def _repair_reprompt(draft: dict, issues: list) -> str:
     """Issue-driven re-prompt (reference repair-reprompt :23307)."""
     return prompt_formats.report_repair_prompt(
-        json.dumps(draft, ensure_ascii=False)[:8000], issues[:10])
+        json.dumps(draft, ensure_ascii=False)
+        [:prompt_formats.REVIEW_DRAFT_TRUNC], issues[:10])
 
 
 def salvage_draft(draft: dict, pack: dict) -> dict:

@@ -202,6 +202,7 @@ class SessionStore:
     def list_index(
         self, owner_user_id: Optional[str], instance_scope: str,
         page: int = 1, page_size: int = 20, order_by: str = "updated_at",
+        status: Optional[str] = None,
     ) -> Tuple[List[dict], int]:
         order_col = "created_at" if order_by == "created_at" else "updated_at"
         where = "WHERE instance_scope = ?"
@@ -209,6 +210,9 @@ class SessionStore:
         if owner_user_id is not None:
             where += " AND owner_user_id = ?"
             params.append(owner_user_id)
+        if status is not None:
+            where += " AND status = ?"
+            params.append(status)
         total = self.meta.query_one(
             f"SELECT COUNT(*) AS n FROM session_index {where}", tuple(params)
         )["n"]

@@ -605,13 +605,15 @@ def _report_draft(rng, topic, q_ids, n_q):
         return sorted(rng.sample(q_ids, rng.randint(1, min(2, n_q))))
 
     def long_desc(*templates):
-        """2-3 filled sentences — report prose must be substantive, not
-        one-liners (served drafts inherit the corpus's section depth)."""
+        """3-4 filled sentences — report prose must be substantive, not
+        one-liners (served drafts inherit the corpus's section depth;
+        the round-3 draft target is p50 >= 800 BPE tokens end to end)."""
         parts = [_fill(rng, rng.choice(t)) for t in templates]
+        parts.append(_fill(rng, rng.choice(rng.choice(templates))))
         return "".join(p if p.endswith("。") else p + "。" for p in parts)
 
     needs = []
-    for i in range(rng.randint(3, 6)):
+    for i in range(rng.randint(4, 7)):
         needs.append({
             "title": rng.choice(["核心业务诉求", "实施路径诉求", "数据治理诉求",
                                  "一线效率诉求", "合规与安全诉求",
@@ -627,7 +629,7 @@ def _report_draft(rng, topic, q_ids, n_q):
         k, v = _mermaid(rng, topic)
         viz[k] = v
     solutions = []
-    for i in range(rng.randint(2, 4)):
+    for i in range(rng.randint(3, 5)):
         solutions.append({
             "title": rng.choice(["分阶段实施方案", "数据底座先行方案",
                                  "试点推广方案", "轻量改造方案",
@@ -637,7 +639,7 @@ def _report_draft(rng, topic, q_ids, n_q):
             "refs": refs(),
         })
     risks = []
-    for i in range(rng.randint(2, 4)):
+    for i in range(rng.randint(3, 5)):
         risks.append({
             "title": rng.choice(["数据迁移风险", "排期依赖风险", "组织配合风险",
                                  "供应商交付风险", "合规变化风险",
@@ -646,7 +648,7 @@ def _report_draft(rng, topic, q_ids, n_q):
             "refs": refs(),
         })
     actions = []
-    for i in range(rng.randint(2, 4)):
+    for i in range(rng.randint(3, 5)):
         actions.append({
             "title": rng.choice(["两周内完成方案评审", "本月完成数据盘点",
                                  "下周输出试点范围", "启动供应商考察",
@@ -678,7 +680,7 @@ def _report_draft(rng, topic, q_ids, n_q):
         "risks": risks,
         "actions": actions,
         "open_questions": [rng.choice(PAIN_POINTS)
-                           for _ in range(rng.randint(1, 3))],
+                           for _ in range(rng.randint(2, 4))],
         "evidence_index": q_ids,
     }
     return draft
@@ -716,7 +718,7 @@ def gen_review_example(rng, scenarios):
     issues = _review_issues(rng) if has_issues else []
     known = issues[:1] if issues and rng.random() < 0.5 else []
     prompt = prompt_formats.report_review_prompt(
-        json.dumps(draft, ensure_ascii=False)[:2400], known)
+        json.dumps(draft, ensure_ascii=False)[:prompt_formats.REVIEW_DRAFT_TRUNC], known)
     patch = {}
     if has_issues and rng.random() < 0.6:
         tgt = issues[0]["target"]
@@ -764,7 +766,7 @@ def gen_repair_example(rng, scenarios):
                    "message": "缺少待澄清问题列表，请补充。",
                    "target": "open_questions"}]
     prompt = prompt_formats.report_repair_prompt(
-        json.dumps(broken, ensure_ascii=False)[:2400], issues)
+        json.dumps(broken, ensure_ascii=False)[:prompt_formats.REVIEW_DRAFT_TRUNC], issues)
     return prompt + "\n" + json.dumps(fixed, ensure_ascii=False)
 
 

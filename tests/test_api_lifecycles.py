@@ -143,6 +143,23 @@ def test_experience_session_cap_enforced(client):
     }).status_code == 201
 
 
+def test_session_cap_counts_only_in_progress(client):
+    """Completing an interview (report generated -> status completed)
+    frees cap quota — the cap is on CONCURRENT in-progress sessions, not
+    lifetime interviews."""
+    login(client, "13900000053")
+    sids = [make_session(client, topic=f"在途{i}")["session_id"]
+            for i in range(5)]
+    assert client.post("/api/sessions", json_body={
+        "topic": "超限", "scenario_id": "product-requirement"
+    }).status_code == 403
+    answer_once(client, sids[0])
+    generate_report(client, sids[0])  # flips session to completed
+    r = client.post("/api/sessions", json_body={
+        "topic": "完成后补位", "scenario_id": "product-requirement"})
+    assert r.status_code == 201, r.text
+
+
 def test_session_cap_lifts_with_level(client):
     user = login(client, "13900000053")
     for i in range(5):
@@ -486,8 +503,32 @@ def test_license_cannot_be_activated_by_second_account(client):
     client.post("/api/auth/logout")
     login(client, "13900000103")
     r = client.post("/api/licenses/activate", json_body={"code": code})
-    assert r.status_code == 400
-    assert "其他账号" in r.get_json()["error"]
+    # reference web/server.py:10656-10672: bound-to-other-user is 409
+    assert r.status_code == 409
+    body = r.get_json()
+    assert "其他账号" in body["error"]
+    assert body["error_code"] == "license_bound_to_other_user"
+
+
+def test_replaced_license_cannot_be_reactivated(client):
+    """A 'replaced' code is terminal (reference web/server.py:10644-10652
+    returns 403 license_replaced) — it must never rebind, even for the
+    original owner."""
+    codes = _issue_codes(client, 2, "standard")
+    login(client, "13900000104")
+    assert client.post("/api/licenses/activate",
+                       json_body={"code": codes[0]}).status_code == 200
+    # activating the second code replaces the first
+    assert client.post("/api/licenses/activate",
+                       json_body={"code": codes[1]}).status_code == 200
+    r = client.post("/api/licenses/activate", json_body={"code": codes[0]})
+    assert r.status_code == 403
+    assert r.get_json()["error_code"] == "license_replaced"
+    # ...for another account the binding check wins (409, still refused)
+    client.post("/api/auth/logout")
+    login(client, "13900000105")
+    r = client.post("/api/licenses/activate", json_body={"code": codes[0]})
+    assert r.status_code in (403, 409)
 
 
 def test_revoked_license_drops_access_and_level_follows(client):
