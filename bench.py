@@ -55,7 +55,13 @@ REPORT_PROMPT = (
 
 
 def _bench_questions(engine, n_sessions, n_threads, max_tokens):
+    """Two questions per session under one prefix_key: round 1 prefills
+    the shared prompt head cold, round 2 must hit the radix prefix cache
+    — the cold/warm TTFT split is reported separately so the prefix
+    cache's effect is measured, not assumed (reference prompt cache
+    web/server.py:4920-5012)."""
     ttfts, totals, errors = [], [], []
+    ttfts_by_round = {1: [], 2: []}
     lock = threading.Lock()
 
     def worker(i):
@@ -69,7 +75,9 @@ def _bench_questions(engine, n_sessions, n_threads, max_tokens):
                     json_mode=True,
                 )
                 with lock:
-                    ttfts.append(meta["queue_wait_ms"] + meta["prefill_ms"])
+                    ttft = meta["queue_wait_ms"] + meta["prefill_ms"]
+                    ttfts.append(ttft)
+                    ttfts_by_round[round_no].append(ttft)
                     totals.append((time.time() - t0) * 1e3)
         except Exception as e:  # noqa: BLE001
             with lock:
@@ -86,7 +94,7 @@ def _bench_questions(engine, n_sessions, n_threads, max_tokens):
     for t in threads:
         t.join()
     wall = time.time() - t0
-    return ttfts, totals, errors, wall
+    return ttfts, totals, errors, wall, ttfts_by_round
 
 
 def _bench_reports(engine, n_reports, n_threads, max_tokens):
@@ -144,6 +152,102 @@ def _bench_ingest(n_pages=60):
     wall = time.time() - t0
     assert len(text) > 1000
     return n_pages / wall if wall > 0 else 0.0
+
+
+# TPU v5e single-chip peaks (public spec; jax-ml.github.io/scaling-book):
+V5E_BF16_FLOPS = 197e12
+V5E_HBM_BYTES_PER_S = 819e9
+
+
+def _model_param_count(mc) -> int:
+    attn = (mc.d_model * mc.n_heads * mc.head_dim
+            + 2 * mc.d_model * mc.n_kv_heads * mc.head_dim
+            + mc.n_heads * mc.head_dim * mc.d_model)
+    mlp = 3 * mc.d_model * mc.d_ff
+    embed = mc.vocab_size * mc.d_model * (1 if mc.tie_embeddings else 2)
+    return mc.n_layers * (attn + mlp + 2 * mc.d_model) + embed + mc.d_model
+
+
+def _bench_scale(pipeline, chain):
+    """dv-1b scale datum (VERDICT r2 #5): decode ms/token-step and
+    prefill latency on the 1.1B-class preset (random weights — this
+    measures the serving stack at scale, not model quality), plus
+    honest roofline accounting: decode %-of-HBM-roofline and prefill
+    MFU against v5e peaks."""
+    from deepvision_tpu.engine.config import get_model_config
+    from deepvision_tpu.engine.engine import EngineConfig, LLMEngine
+
+    B = 8
+    cfg = EngineConfig(
+        model="dv-1b", tokenizer="byte", max_slots=B,
+        num_pages=1024, page_size=64, max_pages_per_seq=32,
+        decode_steps_per_call=8, pipeline_decode=pipeline,
+        max_chained_decodes=chain, chunked_prefill=True,
+        prefill_chunk_size=256, interpret=False, warmup=True,
+    )
+    t0 = time.time()
+    eng = LLMEngine(cfg)
+    eng.start()
+    compile_s = time.time() - t0
+    mc = get_model_config("dv-1b")
+    n_params = _model_param_count(mc)
+    ctx_tokens = 600
+    prompt = ("需求访谈背景：" + "流程现状与痛点，预算与排期约束。" * 60)[:ctx_tokens]
+
+    # prefill: single cold request (no prefix reuse)
+    _, meta = eng.generate_text(prompt, max_tokens=1, temperature=0.0,
+                                timeout=900)
+    prefill_ms = meta["prefill_ms"]
+    prompt_tokens = meta["prompt_tokens"]
+
+    # decode: B concurrent sequences, 256 tokens each
+    done, errors = [], []
+    lock = threading.Lock()
+
+    def worker(i):
+        try:
+            _, m = eng.generate_text(
+                prompt + f"(任务{i})", max_tokens=256, temperature=0.7,
+                top_k=40, timeout=900)
+            with lock:
+                done.append(m["completion_tokens"])
+        except Exception as e:  # noqa: BLE001
+            with lock:
+                errors.append(f"{type(e).__name__}: {e}")
+
+    t0 = time.time()
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(B)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    wall = time.time() - t0
+    eng.shutdown()
+    tokens = sum(done)
+    tok_s = tokens / wall if wall > 0 else 0.0
+    step_ms = (B / tok_s * 1e3) if tok_s > 0 else -1.0
+
+    # roofline: each decode step streams all params (bf16) + the live KV
+    # pages for B sequences from HBM
+    kv_bytes = B * (ctx_tokens + 128) * mc.kv_bytes_per_token_bf16
+    step_floor_ms = (2 * n_params + kv_bytes) / V5E_HBM_BYTES_PER_S * 1e3
+    prefill_flops = 2 * n_params * prompt_tokens
+    prefill_mfu = (prefill_flops / (prefill_ms / 1e3) / V5E_BF16_FLOPS
+                   if prefill_ms > 0 else 0.0)
+    return {
+        "model": "dv-1b",
+        "params_m": round(n_params / 1e6, 1),
+        "decode_slots": B,
+        "decode_ms_per_step": round(step_ms, 2),
+        "decode_tokens_per_s": round(tok_s, 1),
+        "decode_hbm_floor_ms": round(step_floor_ms, 2),
+        "decode_roofline_frac": round(step_floor_ms / step_ms, 3)
+        if step_ms > 0 else 0.0,
+        "prefill_ms_600tok": round(prefill_ms, 1),
+        "prefill_mfu": round(prefill_mfu, 3),
+        "compile_s": round(compile_s, 1),
+        "errors": errors[:3],
+    }
 
 
 def main():
@@ -230,7 +334,7 @@ def main():
     engine_r.start()
     compile_s = time.time() - t0
 
-    ttfts, totals, q_errors, q_wall = _bench_questions(
+    ttfts, totals, q_errors, q_wall, ttfts_by_round = _bench_questions(
         engine_q, n_sessions, n_threads, q_tokens)
     q_stats = engine_q.stats()
     tokens_q = q_stats["tokens_generated"]
@@ -250,6 +354,13 @@ def main():
     except Exception:  # noqa: BLE001
         pages_per_s = -1.0
 
+    scale = None
+    if on_tpu and os.environ.get("DV_BENCH_1B", "1") == "1":
+        try:
+            scale = _bench_scale(pipeline, chain)
+        except Exception as e:  # noqa: BLE001
+            scale = {"error": f"{type(e).__name__}: {e}"}
+
     if not ttfts:
         print(json.dumps({
             "metric": "next_question_ttft_p50", "value": -1, "unit": "ms",
@@ -259,6 +370,8 @@ def main():
 
     p50 = statistics.median(ttfts)
     p95 = sorted(ttfts)[int(0.95 * (len(ttfts) - 1))]
+    cold = ttfts_by_round.get(1) or []
+    warm = ttfts_by_round.get(2) or []
     print(json.dumps({
         "metric": "next_question_ttft_p50",
         "value": round(p50, 1),
@@ -279,7 +392,16 @@ def main():
         "n_requests": len(ttfts),
         "errors": len(q_errors) + len(r_errors),
         "compile_s": round(compile_s, 1),
-        "prefix_cache": r_stats.get("prefix_cache"),
+        # cold = first question per session (prefix miss), warm = second
+        # question reusing the session's cached prompt-head pages
+        "ttft_cold_p50_ms": round(statistics.median(cold), 1)
+        if cold else -1,
+        "ttft_warm_p50_ms": round(statistics.median(warm), 1)
+        if warm else -1,
+        "prefix_cache_question": q_stats.get("prefix_cache"),
+        "prefix_cache_report": r_stats.get("prefix_cache")
+        if engine_r is not engine_q else None,
+        "dv1b": scale,
     }))
     return 0
 

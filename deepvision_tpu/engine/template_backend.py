@@ -102,15 +102,24 @@ def _report_draft(prompt: str, ctx: dict) -> str:
         "needs": [
             {
                 "title": "核心业务诉求",
-                "description": f"围绕{topic}的主要目标与期望价值。",
+                "description": f"围绕{topic}的主要目标与期望价值，"
+                               "访谈中被反复强调为本期必须解决的问题。",
                 "priority": "P0",
                 "refs": refs(0),
             },
             {
                 "title": "落地路径诉求",
-                "description": "对实施节奏、资源投入与里程碑的期望。",
+                "description": "对实施节奏、资源投入与里程碑的期望，"
+                               "要求分阶段交付并在每阶段有可验收产物。",
                 "priority": "P1",
                 "refs": refs(1),
+            },
+            {
+                "title": "数据与协同诉求",
+                "description": "希望打通现有系统间的数据口径，"
+                               "减少跨部门人工对账与重复录入。",
+                "priority": "P1",
+                "refs": refs(2),
             },
         ],
         "analysis": {
@@ -141,9 +150,16 @@ def _report_draft(prompt: str, ctx: dict) -> str:
         "solutions": [
             {
                 "title": "分阶段实施方案",
-                "description": "先落地高价值低成本项，再迭代扩展。",
+                "description": "先落地高价值低成本项形成示范效应，"
+                               "再按里程碑迭代扩展到全量场景，降低切换风险。",
                 "refs": refs(0),
-            }
+            },
+            {
+                "title": "数据底座先行方案",
+                "description": "优先统一主数据与接口规范，"
+                               "为后续流程改造提供一致的数据口径与集成基础。",
+                "refs": refs(2),
+            },
         ],
         "risks": [
             {
@@ -151,11 +167,24 @@ def _report_draft(prompt: str, ctx: dict) -> str:
                 "description": "访谈中部分诉求边界未完全澄清，需在立项时锁定。",
                 "severity": "medium",
                 "refs": refs(1),
-            }
+            },
+            {
+                "title": "里程碑排期依赖",
+                "description": "关键节点依赖第三方接口与数据迁移进度，"
+                               "任一延期都会联动压缩验收窗口。",
+                "severity": "medium",
+                "refs": refs(2),
+            },
         ],
         "actions": [
-            {"title": "确认优先级清单", "owner": "需求方", "refs": refs(0)},
-            {"title": "输出实施里程碑", "owner": "实施方", "refs": refs(1)},
+            {"title": "确认优先级清单", "owner": "需求方",
+             "description": "按访谈证据输出P0/P1需求清单并完成业务评审。",
+             "timeline": "两周内", "metric": "清单评审通过并双方签字确认",
+             "refs": refs(0)},
+            {"title": "输出实施里程碑", "owner": "实施方",
+             "description": "拆解阶段目标与交付物，明确每阶段验收口径。",
+             "timeline": "本月", "metric": "里程碑计划获立项会议通过",
+             "refs": refs(1)},
         ],
         "open_questions": [
             {"question": "预算上限与审批流程是否已明确？", "refs": refs(1)}

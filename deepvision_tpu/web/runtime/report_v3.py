@@ -15,8 +15,10 @@ import re
 import time
 from typing import Dict, List, Optional
 
-from deepvision_tpu.web.runtime import prompt_formats
-from deepvision_tpu.web.runtime.followup import classify_evidence
+from deepvision_tpu.web.runtime import prompt_formats, report_quality
+from deepvision_tpu.web.runtime.followup import (
+    build_evidence_ledger, classify_evidence,
+)
 
 REPORT_PROFILES = {
     "balanced": {
@@ -76,6 +78,17 @@ def build_evidence_pack(session: dict, facts_limit: int = 40) -> dict:
         )[:facts_limit]
         facts.sort(key=lambda f: int(f["q_id"][1:]))
     scenario = session.get("scenario_config") or {}
+    # uncovered key aspects per dimension = the report's blindspots; the
+    # repair catalog backfills them into open_questions/actions
+    # (reference blindspot rules web/server.py:24845-24960)
+    ledger = build_evidence_ledger(session)
+    dim_names = {d.get("id"): d.get("name")
+                 for d in scenario.get("dimensions", [])}
+    blindspots = [
+        {"dimension": dim_names.get(dim_id, dim_id), "aspect": aspect}
+        for dim_id, entry in ledger.get("dimensions", {}).items()
+        for aspect in entry.get("aspects_missing", [])
+    ]
     return {
         "topic": session.get("topic", ""),
         "description": session.get("description", ""),
@@ -89,6 +102,7 @@ def build_evidence_pack(session: dict, facts_limit: int = 40) -> dict:
             for d in scenario.get("dimensions", [])
         },
         "facts": facts,
+        "blindspots": blindspots,
         "q_ids": [f["q_id"] for f in facts],
         "documents": [
             {"name": d.get("name"), "summary": d.get("summary") or
@@ -256,6 +270,31 @@ def validate_report_draft(draft: dict, q_ids: List[str],
         if strong_uncited and len(strong_uncited) > len(facts) * 0.5:
             issue("evidence_underused", "warning",
                   f"高价值证据未被引用：{strong_uncited[:5]}", "refs")
+
+    # per-item issue taxonomy consumed by the deterministic repair
+    # catalog (report_quality.apply_issue_repairs; reference issue types
+    # no_evidence/not_actionable web/server.py:24704,24775)
+    for section in ("needs", "solutions", "risks", "actions",
+                    "evidence_index"):
+        for i, item in enumerate(draft.get(section) or []):
+            if not isinstance(item, dict):
+                continue
+            refs = [r for r in (item.get("refs") or []) if r in valid_ids]
+            if not refs and not (
+                    section == "evidence_index"
+                    and item.get("q_id") in valid_ids):
+                issue("no_evidence", "warning",
+                      f"{section}[{i}] 没有任何可追溯证据引用",
+                      f"{section}[{i}]")
+    for i, item in enumerate(draft.get("actions") or []):
+        if not isinstance(item, dict):
+            continue
+        missing = [k for k in ("owner", "timeline", "metric")
+                   if not str(item.get(k) or "").strip()]
+        if len(missing) >= 2:
+            issue("not_actionable", "warning",
+                  f"actions[{i}] 缺少 {'/'.join(missing)}，无法验收",
+                  f"actions[{i}]")
     return issues
 
 
@@ -592,6 +631,7 @@ class ReportPipelineResult:
         self.review_rounds_run = 0
         self.draft_attempts = 0
         self.issues: List[dict] = []
+        self.repair_notes: List[str] = []
 
 
 def generate_report_v3(
@@ -643,6 +683,15 @@ def generate_report_v3(
 
     draft = apply_deterministic_repairs(draft, pack["q_ids"], pack["facts"])
     issues = validate_report_draft(draft, pack["q_ids"], pack["facts"])
+    # issue-driven repair catalog (reference :24675): weak binding,
+    # demotion, blindspot/unknown backfill, dedup — no model calls
+    repair = report_quality.apply_issue_repairs(draft, pack, issues,
+                                                profile)
+    if repair["changed"]:
+        draft = repair["draft"]
+        issues = validate_report_draft(draft, pack["q_ids"],
+                                       pack["facts"])
+    res.repair_notes = repair["notes"]
     mark("validate")
 
     # --- review rounds (reference review prompt :23243, merge :23423;
@@ -679,11 +728,38 @@ def generate_report_v3(
         issues = validate_report_draft(draft, pack["q_ids"], pack["facts"])
         if review.get("pass", True):
             break
+    if res.review_rounds_run:
+        # repairs again over post-review drafts (review patches can
+        # reintroduce refless or duplicate items)
+        repair = report_quality.apply_issue_repairs(draft, pack, issues,
+                                                    profile)
+        if repair["changed"]:
+            draft = repair["draft"]
+            issues = validate_report_draft(draft, pack["q_ids"],
+                                           pack["facts"])
+            res.repair_notes = res.repair_notes + repair["notes"]
     mark("review")
 
-    res.issues = issues
-    res.quality = quality_gate(draft, issues, profile,
+    def _gate(d, iss):
+        quality = quality_gate(d, iss, profile,
                                review_rounds_run=res.review_rounds_run)
+        meta = report_quality.compute_quality_meta(
+            d, pack, profile, review_issue_count=len(iss))
+        gate_issues = report_quality.build_quality_gate_issues(meta)
+        soft = report_quality.resolve_soft_pass(gate_issues, meta, profile)
+        quality["quality_meta"] = meta
+        quality["gate_issues"] = gate_issues
+        hard_fail = any(i["severity"] == "high" for i in gate_issues)
+        if soft:
+            quality["soft_pass"] = True
+            quality["soft_pass_kind"] = soft["kind"]
+            quality["soft_pass_variant"] = soft["variant"]
+        elif hard_fail:
+            quality["passed"] = False
+        return quality
+
+    res.issues = issues
+    res.quality = _gate(draft, issues)
     mark("quality_gate")
 
     if not (res.quality["passed"] or res.quality["soft_pass"]):
@@ -692,9 +768,14 @@ def generate_report_v3(
         res.path = "salvage"
         draft = salvage_draft(draft, pack)
         issues = validate_report_draft(draft, pack["q_ids"], pack["facts"])
+        repair = report_quality.apply_issue_repairs(draft, pack, issues,
+                                                    profile)
+        if repair["changed"]:
+            draft = repair["draft"]
+            issues = validate_report_draft(draft, pack["q_ids"],
+                                           pack["facts"])
         res.issues = issues
-        res.quality = quality_gate(draft, issues, profile,
-                                   review_rounds_run=res.review_rounds_run)
+        res.quality = _gate(draft, issues)
         res.quality["salvaged"] = True
 
     res.draft = draft

@@ -86,14 +86,23 @@ def build_solution_payload(
 
     needs, risks, actions, solutions = [], [], [], []
     for s in sections:
-        if "需求" in s["title"]:
-            needs = _bullet_items(s["body"])
-        elif "风险" in s["title"]:
-            risks = _bullet_items(s["body"])
-        elif "行动" in s["title"] or "下一步" in s["title"]:
-            actions = _bullet_items(s["body"])
-        elif "方案" in s["title"] or "建议" in s["title"]:
-            solutions = _bullet_items(s["body"])
+        # only top-level list sections qualify: H3 prose like "客户需求"
+        # or mermaid titles would otherwise shadow the real lists
+        if s["level"] != 2 or s["render_mode"] != "markdown":
+            continue
+        items = _bullet_items(s["body"])
+        if not items:
+            continue
+        if "需求" in s["title"] and not needs:
+            needs = items
+        elif "风险" in s["title"] and not risks:
+            risks = items
+        elif ("行动" in s["title"] or "下一步" in s["title"]) \
+                and not actions:
+            actions = items
+        elif ("方案" in s["title"] or "建议" in s["title"]) \
+                and not solutions:
+            solutions = items
 
     highlights = [n[:60] for n in needs[:3]] or [title]
     metrics = [
@@ -372,6 +381,9 @@ def _bullet_items(body: str) -> List[str]:
         m = re.match(r"^\s*(?:[-*]|\d+\.)\s*(?:\[ \]\s*)?(.+)", line)
         if m:
             text = re.sub(r"\*\*([^*]+)\*\*", r"\1", m.group(1)).strip()
+            # inline evidence markers belong to the report view, not the
+            # solution page's derived copy
+            text = re.sub(r"\s*_\(证据: [^)]*\)_\s*$", "", text)
             if text:
                 items.append(text)
     return items

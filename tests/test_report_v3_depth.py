@@ -44,9 +44,38 @@ def good_draft():
         "visualizations": {
             "business_flow_mermaid": "flowchart LR\n  A[提出] --> B[评审]",
         },
-        "solutions": [{"title": "分阶段", "description": "一期先行",
-                       "refs": ["Q2"]}],
-        "risks": [], "actions": [], "open_questions": [],
+        "solutions": [
+            {"title": "分阶段实施",
+             "description": "一期先做高价值流程线上化，二期扩展集成范围，"
+                            "降低切换风险并尽早见效。",
+             "refs": ["Q2"]},
+            {"title": "接口统一方案",
+             "description": "先定义统一接口规范并完成三套系统的适配层，"
+                            "再逐步替换冗余链路。",
+             "refs": ["Q3"]},
+        ],
+        "risks": [
+            {"title": "集成排期风险",
+             "description": "三套系统适配依赖多个供应商配合，"
+                            "任一延期将压缩联调窗口。",
+             "severity": "medium", "refs": ["Q3"]},
+            {"title": "预算超支风险",
+             "description": "迁移与并行运行成本可能超出两百万上限，"
+                            "需预留缓冲并分期投入。",
+             "severity": "medium", "refs": ["Q1"]},
+        ],
+        "actions": [
+            {"title": "输出接口规范", "owner": "技术负责人",
+             "description": "两周内完成统一接口规范初稿并组织评审。",
+             "timeline": "两周内", "metric": "规范评审通过", "refs": ["Q2"]},
+            {"title": "锁定一期范围", "owner": "需求方",
+             "description": "确认一期覆盖的流程清单与验收口径。",
+             "timeline": "本月", "metric": "范围清单签字确认", "refs": ["Q1"]},
+        ],
+        "open_questions": [
+            {"question": "并行运行期间的数据双写口径是否已确认？",
+             "refs": ["Q3"]},
+        ],
         "evidence_index": ["Q1", "Q2"],
     }
 
