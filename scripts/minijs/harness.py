@@ -1,0 +1,478 @@
+"""minijs browser harness: a window/document wired to the live app.
+
+BrowserPage loads a real HTML page served by the app (index.html /
+solution.html), executes its <script src> modules with minijs, and
+bridges `fetch` into the in-process WSGI TestClient — cookies, ETags,
+Retry-After and all. Equivalent role to the reference's Playwright
+runner (/root/reference/scripts/agent_browser_smoke_runner.mjs:1) in an
+image with no node/browser.
+
+Interaction helpers (click/type/select/submit_event) dispatch real
+bubbling events through the DOM, so delegation patterns
+(e.target.closest(...)) execute the same code paths a browser would.
+"""
+
+from __future__ import annotations
+
+import json as _json
+import re
+import urllib.parse
+
+from scripts.minijs.dom import Document, Element, dispatch_event
+from scripts.minijs.interp import (
+    UNDEF, Interpreter, JSArray, JSError, JSObject, JSPromise,
+    NativeFunction, js_num, js_str, js_truthy, to_js,
+)
+from scripts.minijs.stdlib import JSMap, make_error
+
+
+class _Window(JSObject):
+    """Global `window` — also the event-path root."""
+
+    def __init__(self):
+        super().__init__()
+        self.listeners = {}
+        self.doc = None
+
+    def add_listener(self, etype, fn):
+        self.listeners.setdefault(etype, []).append(fn)
+
+    def js_get(self, interp, prop):
+        if prop == "addEventListener":
+            return NativeFunction(
+                lambda i, t, a: (self.add_listener(js_str(a[0]), a[1]),
+                                 UNDEF)[1], "addEventListener")
+        if prop == "removeEventListener":
+            return NativeFunction(lambda i, t, a: UNDEF,
+                                  "removeEventListener")
+        return NotImplemented
+
+    def js_set(self, interp, prop, value):
+        return False
+
+
+class BrowserPage:
+    def __init__(self, client, path="/", site_config=None):
+        """client: deepvision_tpu.web.http.TestClient (or any object with
+        .open(path, method, json_body=..., headers=..., data=...))."""
+        self.client = client
+        self.console_errors = []
+        self.opened_windows = []
+        self.alerts = []
+        self.confirm_response = True
+        self.prompt_response = ""
+        self.interp = Interpreter()
+        self.document = Document()
+        self.window = _Window()
+        self.window.doc = self.document
+        self.document.window = self.window
+        self.location_href = f"http://testserver{path}"
+        self._install_globals(site_config or {})
+        self.load(path)
+
+    # ---- page load -------------------------------------------------------
+    def load(self, path):
+        self.location_href = f"http://testserver{path.split('#')[0]}" + (
+            "#" + path.split("#", 1)[1] if "#" in path else "")
+        resp = self.client.open(path.split("#")[0])
+        assert resp.status_code == 200, (path, resp.status_code)
+        html = resp.data.decode("utf-8")
+        body_html = re.search(r"<body>(.*)</body>", html, re.S).group(1)
+        # strip script tags from the DOM body, execute them in order
+        srcs = re.findall(r'<script src="([^"]+)"></script>', body_html)
+        body_html = re.sub(r"<script[^>]*></script>", "", body_html)
+        self.document.body.set_inner_html(body_html)
+        title = re.search(r"<title>(.*?)</title>", html, re.S)
+        if title:
+            self.document.props["title"] = title.group(1)
+        for src in srcs:
+            self.run_script(src)
+        dispatch_event(self.interp, self.document, "DOMContentLoaded")
+        self.settle()
+
+    def run_script(self, src_path):
+        resp = self.client.open(src_path)
+        assert resp.status_code == 200, (src_path, resp.status_code)
+        code = resp.data.decode("utf-8")
+        self.interp.run(code, src_path)
+
+    # ---- globals ------------------------------------------------------------
+    def _install_globals(self, site_config):
+        g = self.interp.global_env
+        interp = self.interp
+        page = self
+
+        g.declare("window", self.window)
+        g.declare("document", self.document)
+        g.declare("this", self.window)
+
+        # window.* and bare globals resolve the same way in the app
+        # (it only reads window.DV*, window.SITE_CONFIG, scroll APIs)
+        def win_get(i, prop):
+            table = {
+                "SITE_CONFIG": to_js(site_config, i),
+                "location": page._location(),
+                "scrollY": 0.0,
+                "innerHeight": 800.0,
+                "innerWidth": 1280.0,
+                "document": page.document,
+            }
+            if prop in table:
+                return table[prop]
+            if prop == "open":
+                return NativeFunction(
+                    lambda i2, t, a: (page.opened_windows.append(
+                        js_str(a[0]) if a else ""), None)[1], "open")
+            if prop in ("print", "scrollTo", "scrollBy"):
+                return NativeFunction(lambda i2, t, a: UNDEF, prop)
+            if prop == "localStorage":
+                return page._local_storage
+            if prop == "history":
+                return page._history
+            if g.has(prop):
+                return g.lookup(prop)
+            base = _Window.js_get(page.window, i, prop)
+            if base is not NotImplemented:
+                return base
+            return page.window.props.get(prop, UNDEF)
+        self.window.js_get = win_get
+
+        def win_set(i, prop, value):
+            page.window.props[prop] = value
+            if not g.has(prop):
+                g.declare(prop, value)
+            else:
+                g.assign(prop, value)
+            return True
+        self.window.js_set = win_set
+
+        g.declare("SITE_CONFIG", to_js(site_config, interp))
+
+        # ---- location / history ----------------------------------------
+        self._history = JSObject({
+            "pushState": NativeFunction(
+                lambda i, t, a: page._set_hash_from_url(js_str(a[2]))
+                if len(a) > 2 else UNDEF, "pushState"),
+            "replaceState": NativeFunction(
+                lambda i, t, a: page._set_hash_from_url(js_str(a[2]))
+                if len(a) > 2 else UNDEF, "replaceState"),
+            "back": NativeFunction(lambda i, t, a: UNDEF, "back"),
+        })
+        g.declare("history", self._history)
+        g.declare("location", self._location())
+
+        # ---- storage -----------------------------------------------------
+        store = {}
+
+        def ls_get(i, prop):
+            fns = {
+                "getItem": lambda i2, t, a: store.get(js_str(a[0]), None),
+                "setItem": lambda i2, t, a: (store.__setitem__(
+                    js_str(a[0]), js_str(a[1])), UNDEF)[1],
+                "removeItem": lambda i2, t, a: (store.pop(js_str(a[0]),
+                                                          None), UNDEF)[1],
+                "clear": lambda i2, t, a: (store.clear(), UNDEF)[1],
+            }
+            if prop in fns:
+                return NativeFunction(fns[prop], prop)
+            return store.get(prop, UNDEF)
+        ls = JSObject()
+        ls.js_get = ls_get
+        ls.js_set = lambda i, prop, v: (store.__setitem__(prop, js_str(v)),
+                                        True)[1]
+        self._local_storage = ls
+        self._ls_store = store
+        g.declare("localStorage", ls)
+        g.declare("sessionStorage", ls)
+
+        # ---- dialogs ------------------------------------------------------
+        g.declare("alert", NativeFunction(
+            lambda i, t, a: (page.alerts.append(js_str(a[0] if a else "")),
+                             UNDEF)[1], "alert"))
+        g.declare("confirm", NativeFunction(
+            lambda i, t, a: page.confirm_response, "confirm"))
+        g.declare("prompt", NativeFunction(
+            lambda i, t, a: page.prompt_response, "prompt"))
+
+        # ---- fetch + friends ---------------------------------------------
+        g.declare("fetch", NativeFunction(self._fetch, "fetch"))
+
+        fd_ns = NativeFunction(lambda i, t, a: UNDEF, "FormData")
+        fd_ns.props["__construct__"] = lambda i, a: _FormData()
+        g.declare("FormData", fd_ns)
+
+        usp_ns = NativeFunction(lambda i, t, a: UNDEF, "URLSearchParams")
+        usp_ns.props["__construct__"] = lambda i, a: _SearchParams(
+            js_str(a[0]) if a and a[0] is not UNDEF else "")
+        g.declare("URLSearchParams", usp_ns)
+
+        ac_ns = NativeFunction(lambda i, t, a: UNDEF, "AbortController")
+        ac_ns.props["__construct__"] = lambda i, a: _AbortController(i)
+        g.declare("AbortController", ac_ns)
+
+    def _location(self):
+        if getattr(self, "_loc_obj", None) is not None:
+            return self._loc_obj
+        page = self
+        loc = JSObject()
+
+        def js_get(i, prop):
+            parsed = urllib.parse.urlparse(page.location_href)
+            table = {
+                "href": page.location_href,
+                "origin": f"{parsed.scheme}://{parsed.netloc}",
+                "pathname": parsed.path or "/",
+                "search": ("?" + parsed.query) if parsed.query else "",
+                "hash": ("#" + parsed.fragment) if parsed.fragment
+                else "",
+            }
+            if prop in table:
+                return table[prop]
+            if prop == "reload":
+                return NativeFunction(lambda i2, t, a: UNDEF, "reload")
+            return loc.props.get(prop, UNDEF)
+
+        def js_set(i, prop, value):
+            if prop == "hash":
+                page.set_hash(js_str(value))
+                return True
+            if prop == "href":
+                page.location_href = js_str(value)
+                return True
+            loc.props[prop] = value
+            return True
+        loc.js_get = js_get
+        loc.js_set = js_set
+        self._loc_obj = loc
+        return loc
+
+    def _set_hash_from_url(self, url):
+        if "#" in url:
+            self.set_hash("#" + url.split("#", 1)[1])
+        return UNDEF
+
+    def set_hash(self, new_hash):
+        if not new_hash.startswith("#"):
+            new_hash = "#" + new_hash
+        base = self.location_href.split("#")[0]
+        changed = self.location_href != base + new_hash
+        self.location_href = base + new_hash
+        if changed:
+            dispatch_event(self.interp, self.window, "hashchange")
+
+    # ---- fetch bridge ---------------------------------------------------
+    def _fetch(self, interp, this, args):
+        path = js_str(args[0])
+        init = args[1] if len(args) > 1 and isinstance(args[1],
+                                                       JSObject) else None
+        method = "GET"
+        headers = {}
+        json_body = None
+        raw = None
+        if init is not None:
+            m = init.props.get("method")
+            if m is not UNDEF and m is not None:
+                method = js_str(m)
+            h = init.props.get("headers")
+            if isinstance(h, JSObject):
+                headers = {k: js_str(v) for k, v in h.props.items()}
+            body = init.props.get("body")
+            if isinstance(body, _FormData):
+                files = {}
+                form = {}
+                for name, value in body.fields:
+                    if isinstance(value, JSObject) and \
+                            "__file__" in getattr(value, "props", {}):
+                        files[name] = (js_str(value.props["name"]),
+                                       js_str(value.props["content"])
+                                       .encode("utf-8"))
+                    else:
+                        form[name] = js_str(value)
+                resp = self.client.open(path, method=method, files=files,
+                                        form=form, headers=headers)
+                return self._wrap_response(interp, resp)
+            if body is not UNDEF and body is not None:
+                ctype = headers.get("Content-Type", "")
+                if "json" in ctype:
+                    json_body = _json.loads(js_str(body))
+                else:
+                    raw = js_str(body).encode("utf-8")
+            sig = init.props.get("signal")
+            if isinstance(sig, JSObject) and js_truthy(
+                    getattr(sig, "aborted", False)):
+                raise_abort(interp)
+        if path.startswith(("http://testserver", "https://testserver")):
+            path = path.split("testserver", 1)[1]
+        resp = self.client.open(path, method=method, json_body=json_body,
+                                data=raw, headers=headers)
+        return self._wrap_response(interp, resp)
+
+    def _wrap_response(self, interp, resp):
+        headers_map = {k.lower(): v for k, v in resp.headers.items()}
+        body_bytes = resp.data
+
+        def _header_get(i, t, a):
+            return headers_map.get(js_str(a[0]).lower(), None)
+        headers_obj = JSObject({
+            "get": NativeFunction(_header_get, "get"),
+        })
+
+        def _json_p(i, t, a):
+            p = JSPromise(i)
+            try:
+                p.resolve(to_js(_json.loads(body_bytes.decode("utf-8")),
+                                i))
+            except Exception:
+                p.reject(make_error("invalid json"))
+            return p
+
+        def _text_p(i, t, a):
+            p = JSPromise(i)
+            p.resolve(body_bytes.decode("utf-8", "replace"))
+            return p
+
+        def _blob_p(i, t, a):
+            p = JSPromise(i)
+            p.resolve(JSObject({"size": float(len(body_bytes))}))
+            return p
+        js_resp = JSObject({
+            "status": float(resp.status_code),
+            "ok": 200 <= resp.status_code < 300,
+            "headers": headers_obj,
+            "json": NativeFunction(_json_p, "json"),
+            "text": NativeFunction(_text_p, "text"),
+            "blob": NativeFunction(_blob_p, "blob"),
+        })
+        promise = JSPromise(interp)
+        promise.resolve(js_resp)
+        return promise
+
+    # ---- interaction helpers -------------------------------------------
+    def q(self, selector):
+        el = self.document.query(selector)
+        if el is None:
+            raise AssertionError(
+                f"no element matches {selector!r}; body="
+                f"{self.document.body.inner_html()[:600]}")
+        return el
+
+    def maybe(self, selector):
+        return self.document.query(selector)
+
+    def click(self, target):
+        el = self.q(target) if isinstance(target, str) else target
+        dispatch_event(self.interp, el, "click")
+        self.settle()
+
+    def type_into(self, selector, text):
+        el = self.q(selector)
+        el._value = text
+        dispatch_event(self.interp, el, "input")
+        self.settle()
+
+    def select_value(self, selector, value):
+        el = self.q(selector)
+        el._value = value
+        dispatch_event(self.interp, el, "change")
+        self.settle()
+
+    def check(self, selector, checked=True):
+        el = self.q(selector)
+        el._checked = checked
+        dispatch_event(self.interp, el, "change")
+        self.settle()
+
+    def keydown(self, selector, key):
+        el = self.q(selector)
+        dispatch_event(self.interp, el, "keydown", extra={"key": key})
+        self.settle()
+
+    def settle(self, max_virtual_ms=180000.0):
+        """Run microtasks + due timers until the page goes quiet."""
+        self.interp.run_all_tasks(max_virtual_ms)
+
+    def text(self, selector=None):
+        el = self.q(selector) if selector else self.document.body
+        return el.get_text()
+
+    def body_html(self):
+        return self.document.body.inner_html()
+
+    def console(self):
+        return list(self.interp.console_logs)
+
+    def errors(self):
+        return [m for lvl, m in self.interp.console_logs
+                if lvl == "error"] + self.console_errors
+
+    def attach_file(self, selector, name, content):
+        el = self.q(selector)
+        f = JSObject({"__file__": True, "name": name, "content": content,
+                      "size": float(len(content))})
+        el._files = JSArray([f])
+        dispatch_event(self.interp, el, "change")
+        self.settle()
+
+
+class _FormData(JSObject):
+    def __init__(self):
+        super().__init__()
+        self.fields = []
+
+    def js_get(self, interp, prop):
+        if prop == "append":
+            return NativeFunction(
+                lambda i, t, a: (self.fields.append(
+                    (js_str(a[0]), a[1])), UNDEF)[1], "append")
+        return NotImplemented
+
+    def js_set(self, interp, prop, value):
+        return False
+
+
+class _SearchParams(JSObject):
+    def __init__(self, query):
+        super().__init__()
+        if query.startswith("?"):
+            query = query[1:]
+        self.pairs = urllib.parse.parse_qsl(query, keep_blank_values=True)
+
+    def js_get(self, interp, prop):
+        if prop == "get":
+            return NativeFunction(
+                lambda i, t, a: next(
+                    (v for k, v in self.pairs if k == js_str(a[0])), None),
+                "get")
+        if prop == "set":
+            def _set(i, t, a):
+                k, v = js_str(a[0]), js_str(a[1])
+                self.pairs = [(pk, pv) for pk, pv in self.pairs
+                              if pk != k] + [(k, v)]
+                return UNDEF
+            return NativeFunction(_set, "set")
+        if prop == "toString":
+            return NativeFunction(
+                lambda i, t, a: urllib.parse.urlencode(self.pairs),
+                "toString")
+        return NotImplemented
+
+    def js_set(self, interp, prop, value):
+        return False
+
+
+class _AbortController(JSObject):
+    def __init__(self, interp):
+        super().__init__()
+        signal = JSObject({"aborted": False})
+        signal.aborted = False
+        self.props["signal"] = signal
+        self.props["abort"] = NativeFunction(
+            lambda i, t, a: (setattr(signal, "aborted", True),
+                             signal.props.__setitem__("aborted", True),
+                             UNDEF)[2], "abort")
+
+
+def raise_abort(interp):
+    from scripts.minijs.interp import _Throw
+    err = make_error("The operation was aborted", "AbortError")
+    raise _Throw(err)

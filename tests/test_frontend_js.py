@@ -1,0 +1,344 @@
+"""Execute the frontend in a real JS runtime (scripts/minijs) against the
+live in-process app — the reference runs Playwright UI smoke
+(agent_browser_smoke_runner.mjs:1, .github/workflows/browser-smoke.yml);
+this suite is its equivalent for an image with no node/browser.
+
+Every test loads the real served HTML, runs all <script> modules through
+the minijs interpreter (any parse or runtime error fails loudly), and
+drives the UI through bubbling DOM events: login -> create session ->
+answer questions -> generate report -> report view -> solution page ->
+admin tabs. Fetch is bridged into the WSGI TestClient, timers run on a
+virtual clock, so the whole journey runs in CI seconds."""
+
+import glob
+import os
+import tempfile
+
+import pytest
+
+from deepvision_tpu.web.http import TestClient as HttpClient
+from deepvision_tpu.web.server import create_app
+from scripts.minijs.harness import BrowserPage
+from scripts.minijs.parser import parse
+
+ADMIN_PHONE = "13800000001"
+JS_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "deepvision_tpu", "web", "static", "js")
+
+
+@pytest.fixture()
+def client():
+    tmp = tempfile.TemporaryDirectory()
+    app = create_app(data_dir=tmp.name, overrides={
+        "SMS_PROVIDER": "mock", "SMS_TEST_CODE": "666666",
+        "AI_MODE": "template", "SECRET_KEY": "frontend-js-test-secret",
+        "ADMIN_PHONE_NUMBERS": ADMIN_PHONE,
+        "SESSION_COOKIE_SECURE": "0",
+    })
+    c = HttpClient(app)
+    c._tmp = tmp
+    yield c
+    c.app.state.report_queue.shutdown()
+    tmp.cleanup()
+
+
+def page_for(client, path="/"):
+    return BrowserPage(client, path)
+
+
+def login(page, phone="13900009001"):
+    page.click("#login-btn")
+    page.type_into("#login-phone", phone)
+    page.click("#send-code-btn")
+    page.type_into("#login-code", "666666")
+    page.click("#login-submit")
+    assert page.maybe("#logout-btn") is not None, page.text("#login-err")
+    return page
+
+
+def create_session(page, topic="电商会员体系升级"):
+    page.click("#new-session-btn")
+    page.type_into("#ns-topic", topic)
+    page.click("#ns-create")
+    assert page.maybe("#iv-question-card") is not None, page.body_html()[:800]
+
+
+def answer_question(page, custom=None):
+    card = page.q("#iv-question-card")
+    if custom is not None:
+        toggle = page.maybe("#iv-custom-toggle")
+        if toggle is not None:
+            page.click(toggle)
+        page.type_into("#iv-custom", custom)
+    else:
+        opts = card.query_all(".option")
+        assert opts, card.inner_html()[:400]
+        page.click(opts[0])
+    page.click("#iv-submit")
+
+
+# ---------------------------------------------------------------------------
+# every module parses and executes
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("path", sorted(
+    glob.glob(os.path.join(JS_DIR, "*.js"))))
+def test_module_parses(path):
+    with open(path, encoding="utf-8") as fh:
+        parse(fh.read(), os.path.basename(path))
+
+
+def test_all_modules_execute_and_boot(client):
+    page = page_for(client)
+    # boot ran: tabs wired, sessions view mounted, login button present
+    assert page.maybe("#login-btn") is not None
+    assert "我的访谈" in page.text("#view")
+    assert page.location_href.endswith("#sessions")
+    assert not page.errors(), page.errors()
+
+
+# ---------------------------------------------------------------------------
+# auth
+# ---------------------------------------------------------------------------
+
+def test_login_flow_via_ui(client):
+    page = page_for(client)
+    login(page)
+    assert "体验版" in page.text("#user-box")
+    # login modal closed (toasts auto-remove on the virtual clock, so
+    # assert the durable outcome, not the transient toast)
+    assert page.maybe("#dv-modal") is None
+
+
+def test_login_rejects_bad_phone_client_side(client):
+    page = page_for(client)
+    page.click("#login-btn")
+    page.type_into("#login-phone", "not-a-phone")
+    page.click("#send-code-btn")
+    assert "手机号格式不正确" in page.text("#login-err")
+
+
+def test_login_wrong_code_shows_server_error(client):
+    page = page_for(client)
+    page.click("#login-btn")
+    page.type_into("#login-phone", "13900009002")
+    page.click("#send-code-btn")
+    page.type_into("#login-code", "000000")
+    page.click("#login-submit")
+    assert page.text("#login-err").strip()
+    assert page.maybe("#logout-btn") is None
+
+
+def test_logout_returns_to_anonymous(client):
+    page = page_for(client)
+    login(page)
+    page.click("#logout-btn")
+    assert page.maybe("#login-btn") is not None
+
+
+# ---------------------------------------------------------------------------
+# interview journey
+# ---------------------------------------------------------------------------
+
+def test_create_session_and_first_question(client):
+    page = page_for(client)
+    login(page)
+    create_session(page)
+    card = page.q("#iv-question-card")
+    assert card.query_all(".option"), "question must render options"
+    assert page.maybe("#iv-submit") is not None
+
+
+def test_answer_option_advances_to_next_question(client):
+    page = page_for(client)
+    login(page)
+    create_session(page)
+    q1 = page.text("#iv-question-card")
+    answer_question(page)
+    q2 = page.text("#iv-question-card")
+    assert q2 and q2 != q1
+
+
+def test_custom_answer_path(client):
+    page = page_for(client)
+    login(page)
+    create_session(page)
+    answer_question(page, custom="我们主要的诉求是整合三套系统的数据口径，"
+                                 "因为目前人工对账成本很高")
+    assert page.maybe("#iv-question-card") is not None
+    assert not page.errors(), page.errors()
+
+
+def test_interview_hash_deep_link(client):
+    page = page_for(client)
+    login(page)
+    create_session(page)
+    assert page.location_href.split("#")[1].startswith("interview/")
+
+
+# ---------------------------------------------------------------------------
+# report generation + report view
+# ---------------------------------------------------------------------------
+
+def _run_report_flow(client, page):
+    for _ in range(2):
+        answer_question(page)
+    page.click("#iv-report-btn")
+    # readiness modal may ask to force
+    force = page.maybe("#rr-force")
+    if force is not None:
+        page.click(force)
+    # the queue job runs on a real worker thread; drain it, then let the
+    # JS poll timer observe completion on the virtual clock
+    client.app.state.report_queue.drain()
+    page.settle()
+    return page
+
+
+def test_generate_report_via_ui_lands_on_report_view(client):
+    page = page_for(client)
+    login(page)
+    create_session(page)
+    _run_report_flow(client, page)
+    assert page.location_href.split("#")[1].startswith("report/")
+    body = page.text("#view")
+    assert "总体概述" in body
+    assert not page.errors(), page.errors()
+
+
+def test_report_view_renders_markdown_structures(client):
+    page = page_for(client)
+    login(page)
+    create_session(page)
+    _run_report_flow(client, page)
+    html = page.q("#rd-body").inner_html()
+    assert "<h2" in html
+    assert "mermaid" in html or "需求清单" in html
+
+
+def test_reports_tab_lists_generated_report(client):
+    page = page_for(client)
+    login(page)
+    create_session(page)
+    _run_report_flow(client, page)
+    page.set_hash("#reports")
+    page.settle()
+    assert page.maybe("#report-table") is not None
+    assert "电商会员体系升级" in page.text("#report-table")
+
+
+# ---------------------------------------------------------------------------
+# session list interactions
+# ---------------------------------------------------------------------------
+
+def test_session_list_shows_created_sessions(client):
+    page = page_for(client)
+    login(page)
+    create_session(page, topic="列表显示测试主题")
+    page.set_hash("#sessions")
+    page.settle()
+    assert "列表显示测试主题" in page.text("#session-table")
+
+
+def test_session_list_batch_mode_toggle(client):
+    page = page_for(client)
+    login(page)
+    create_session(page, topic="批量操作目标")
+    page.set_hash("#sessions")
+    page.settle()
+    page.click("#batch-btn")
+    assert page.maybe("#sl-batch-bar") is not None or \
+        page.maybe(".sl-pick") is not None
+
+
+# ---------------------------------------------------------------------------
+# solution page (solution.html + solution.js)
+# ---------------------------------------------------------------------------
+
+def test_solution_page_renders_full_payload(client):
+    page = page_for(client)
+    login(page)
+    create_session(page, topic="解决方案页渲染")
+    _run_report_flow(client, page)
+    # the hash fragment is already encodeURIComponent-encoded
+    report_name = page.location_href.split("#report/")[1]
+    sol = BrowserPage(client, f"/solution.html?report={report_name}")
+    text = sol.document.body.get_text()
+    assert "解决方案页渲染" in text or "解决方案" in text
+    assert not sol.errors(), sol.errors()
+    # hero + sections mounted
+    assert sol.document.query(".hero") is not None or \
+        "总体概述" in text
+
+
+# ---------------------------------------------------------------------------
+# admin view
+# ---------------------------------------------------------------------------
+
+def test_admin_tab_visible_and_mounts_for_admin(client):
+    page = page_for(client)
+    login(page, ADMIN_PHONE)
+    admin_btn = page.q('[data-view="admin"]')
+    assert admin_btn.style.props.get("display", "") != "none"
+    page.click(admin_btn)
+    assert page.maybe("#lic-gen") is not None or \
+        "License" in page.text("#view") or "许可" in page.text("#view")
+    assert not page.errors(), page.errors()
+
+
+def test_admin_tab_hidden_for_normal_user(client):
+    page = page_for(client)
+    login(page, "13900009003")
+    admin_btn = page.q('[data-view="admin"]')
+    assert admin_btn.style.props.get("display") == "none"
+
+
+# ---------------------------------------------------------------------------
+# markdown renderer unit (through the real module)
+# ---------------------------------------------------------------------------
+
+def test_markdown_module_renders_report_features(client):
+    page = page_for(client)
+    page.interp.run(
+        'window.__md = DVMarkdown.render("# 标题\\n\\n- 条目一\\n\\n'
+        '```mermaid\\nflowchart LR\\n  A --> B\\n```\\n\\n'
+        '**加粗** `代码`")')
+    html = str(page.interp.global_env.lookup("__md"))
+    assert "<h1" in html and "<li>" in html
+    assert "mermaid" in html
+    assert "<strong>" in html and "<code>" in html
+
+
+def test_markdown_escapes_html_injection(client):
+    page = page_for(client)
+    page.interp.run(
+        'window.__md2 = DVMarkdown.render("<script>alert(1)</script>")')
+    out = str(page.interp.global_env.lookup("__md2"))
+    assert "<script>" not in out
+
+
+# ---------------------------------------------------------------------------
+# api layer behaviors
+# ---------------------------------------------------------------------------
+
+def test_etag_list_fetch_serves_cache_on_304(client):
+    page = page_for(client)
+    login(page)
+    create_session(page, topic="ETag缓存")
+    page.set_hash("#sessions")
+    page.settle()
+    out = page.interp.run(
+        'window.__etag_test = DVApi.list("/api/sessions")'
+        '.then((r1) => DVApi.list("/api/sessions")'
+        '.then((r2) => [r1.cached, r2.cached]))')
+    page.settle()
+    p = page.interp.global_env.lookup("__etag_test")
+    vals = [bool(x) for x in p.value.items]
+    assert vals == [False, True]
+
+
+def test_uncaught_js_errors_are_loud(client):
+    page = page_for(client)
+    from scripts.minijs.interp import JSError
+    with pytest.raises(JSError):
+        page.interp.run("nonExistentFunction42()")
