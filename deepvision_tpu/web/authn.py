@@ -214,6 +214,15 @@ class AuthService:
         ).fetchone()
         return dict(row) if row else None
 
+    def list_users(self, limit: int = 200) -> list:
+        """All accounts, oldest first (ops CLI account picker —
+        reference admin_migrate_ownership.py list-users)."""
+        rows = self.conn().execute(
+            "SELECT user_id, phone, nickname, level, is_admin, created_at "
+            "FROM users ORDER BY user_id LIMIT ?", (limit,),
+        ).fetchall()
+        return [dict(r) for r in rows]
+
     def find_users(self, query: str, limit: int = 20) -> list:
         rows = self.conn().execute(
             "SELECT user_id, phone, nickname, level, is_admin, created_at "

@@ -45,12 +45,14 @@ class OwnershipMigrationService:
         }
 
     # -- preview ---------------------------------------------------------
-    def preview(self, from_user_id: str, to_user_id: str) -> dict:
+    def preview(self, from_user_id: str, to_user_id: str,
+                kinds: tuple = ("sessions", "reports")) -> dict:
         audit = self.audit(from_user_id)
         token = secrets.token_urlsafe(16)
         self._previews[token] = {
             "from": str(from_user_id),
             "to": str(to_user_id),
+            "kinds": tuple(kinds),
             "created": time.time(),
             "audit": audit,
         }
@@ -59,6 +61,7 @@ class OwnershipMigrationService:
             "confirm_word": CONFIRM_WORD,
             "from_user_id": from_user_id,
             "to_user_id": to_user_id,
+            "kinds": list(kinds),
             "hits": audit,
             "expires_in_seconds": PREVIEW_TTL_S,
         }
@@ -72,11 +75,12 @@ class OwnershipMigrationService:
             raise ValueError(f"确认词不正确，应输入：{CONFIRM_WORD}")
         self._previews.pop(token, None)
         from_id, to_id = info["from"], info["to"]
+        kinds = info.get("kinds") or ("sessions", "reports")
 
         moved_sessions: List[str] = []
-        sessions, _ = self.state.sessions.list_index(
+        sessions, _ = (self.state.sessions.list_index(
             from_id, self.state.instance_scope, page=1, page_size=10000
-        )
+        ) if "sessions" in kinds else ([], 0))
         backup_entries = []
         for row in sessions:
             sid = row["session_id"]
@@ -91,9 +95,9 @@ class OwnershipMigrationService:
             moved_sessions.append(sid)
 
         moved_reports: List[str] = []
-        reports, _ = self.state.reports.list_index(
+        reports, _ = (self.state.reports.list_index(
             from_id, self.state.instance_scope, page=1, page_size=10000
-        )
+        ) if "reports" in kinds else ([], 0))
         for row in reports:
             name = row["report_name"]
             backup_entries.append(

@@ -112,3 +112,17 @@ def test_remote_engine_unreachable_raises():
     remote = RemoteEngine("http://127.0.0.1:1", connect_timeout=0.5)
     with pytest.raises(Exception):
         remote.start()
+
+
+def test_multihost_dcn_dryrun():
+    """2-process jax.distributed DP-over-DCN x TP-over-ICI train step
+    (SURVEY §5.8; VERDICT r2 missing #8). Spawns two OS processes with 4
+    virtual CPU devices each, joined over gloo collectives."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    import __graft_entry__ as g
+
+    g.dryrun_multihost(2, 2)

@@ -478,3 +478,105 @@ def test_auth_migration_rehearsal_and_verify(tmp_path):
     dst = sqlite3.connect(dst_path)
     n = dst.execute("SELECT COUNT(*) FROM users").fetchone()[0]
     assert n == 2
+
+
+# ---------------------------------------------------------------------------
+# ownership-migration CLI (scripts/admin_migrate_ownership.py — reference
+# scripts/admin_migrate_ownership.py:1 operator workflows without HTTP)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture()
+def owned_dir():
+    tmp = tempfile.TemporaryDirectory()
+    from deepvision_tpu.web.server import AppState
+
+    state = AppState(data_dir=tmp.name, overrides={
+        "AI_MODE": "off", "SMS_PROVIDER": "mock",
+        "SECRET_KEY": "ownership-test"})
+    u1 = state.auth.upsert_user_by_phone("13900000201")
+    u2 = state.auth.upsert_user_by_phone("13900000202")
+    for i in range(2):
+        state.sessions.save({
+            "session_id": f"dv-20260102000000-own{i:05d}",
+            "owner_user_id": str(u1["user_id"]),
+            "instance_scope": state.instance_scope,
+            "topic": f"归属迁移{i}", "status": "in_progress",
+            "created_at": "2026-01-02T00:00:00Z",
+            "updated_at": "2026-01-02T00:00:00Z",
+            "interview_log": [], "dimensions": {},
+            "reference_materials": [],
+        })
+    yield tmp.name, str(u1["user_id"]), str(u2["user_id"])
+    tmp.cleanup()
+
+
+def test_ownership_cli_dry_run_changes_nothing(owned_dir):
+    data_dir, u1, u2 = owned_dir
+    r = run_script("admin_migrate_ownership.py", "--data-dir", data_dir,
+                   "migrate", "--from-user-id", u1, "--to-user-id", u2)
+    assert r.returncode == 0, r.stderr
+    assert "DRY-RUN" in r.stdout
+    assert "会话 2 个" in r.stdout
+    r = run_script("admin_migrate_ownership.py", "--data-dir", data_dir,
+                   "audit", "--user-id", u1)
+    assert '"session_count": 2' in r.stdout
+
+
+def test_ownership_cli_apply_and_rollback(owned_dir):
+    data_dir, u1, u2 = owned_dir
+    summary = os.path.join(data_dir, "summary.json")
+    r = run_script("admin_migrate_ownership.py", "--data-dir", data_dir,
+                   "migrate", "--from-user-id", u1, "--to-user-id", u2,
+                   "--apply", "--summary-json", summary)
+    assert r.returncode == 0, r.stderr
+    assert "已执行：会话 2 个" in r.stdout
+    with open(summary, encoding="utf-8") as fh:
+        s = json.load(fh)
+    assert s["result"]["moved_sessions"] == 2
+    backup = s["result"]["backup"]
+
+    r = run_script("admin_migrate_ownership.py", "--data-dir", data_dir,
+                   "audit", "--user-id", u2)
+    assert '"session_count": 2' in r.stdout
+
+    r = run_script("admin_migrate_ownership.py", "--data-dir", data_dir,
+                   "rollback", "--backup", backup)
+    assert r.returncode == 0 and "已回滚 2 条" in r.stdout
+    r = run_script("admin_migrate_ownership.py", "--data-dir", data_dir,
+                   "audit", "--user-id", u1)
+    assert '"session_count": 2' in r.stdout
+    r = run_script("admin_migrate_ownership.py", "--data-dir", data_dir,
+                   "history")
+    assert "apply" in r.stdout and "rollback" in r.stdout
+
+
+def test_ownership_cli_kinds_filter_and_user_listing(owned_dir):
+    data_dir, u1, u2 = owned_dir
+    r = run_script("admin_migrate_ownership.py", "--data-dir", data_dir,
+                   "list-users", "--query", "13900000201")
+    assert r.returncode == 0 and "13900000201" in r.stdout
+    # reports-only migration must not move sessions
+    r = run_script("admin_migrate_ownership.py", "--data-dir", data_dir,
+                   "migrate", "--from-user-id", u1,
+                   "--to-account", "13900000202",
+                   "--kinds", "reports", "--apply")
+    assert r.returncode == 0, r.stderr
+    assert "会话 0 个" in r.stdout
+    r = run_script("admin_migrate_ownership.py", "--data-dir", data_dir,
+                   "audit", "--user-id", u1)
+    assert '"session_count": 2' in r.stdout
+
+
+def test_ownership_cli_rejects_bad_input(owned_dir):
+    data_dir, u1, _ = owned_dir
+    r = run_script("admin_migrate_ownership.py", "--data-dir", data_dir,
+                   "migrate", "--from-user-id", u1, "--to-user-id", u1)
+    assert r.returncode != 0
+    assert "相同" in (r.stdout + r.stderr)
+    r = run_script("admin_migrate_ownership.py", "--data-dir", data_dir,
+                   "migrate", "--from-user-id", u1, "--to-user-id", "999",
+                   )
+    assert r.returncode != 0
+    r = run_script("admin_migrate_ownership.py", "--data-dir", data_dir,
+                   "rollback", "--backup", "missing.json")
+    assert r.returncode != 0
