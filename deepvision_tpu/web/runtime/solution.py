@@ -181,10 +181,14 @@ def build_solution_payload(
         "chapter_copy": _derive_chapter_copy(
             title, overview, needs, solutions, actions),
         "proposal_page": _derive_proposal_page(title, overview, sections),
-        "proposal_support": _derive_proposal_support(markdown, needs),
-        "decision_brief": decision_summary,
-        "narrative_outline": [s["title"] for s in sections],
-        "page_copy": _derive_page_copy(title, overview, actions),
+        "proposal_support": _derive_proposal_support(markdown, needs,
+                                                     session=session),
+        "decision_brief": _derive_decision_brief(
+            title, overview, needs, risks, solutions, actions),
+        "narrative_outline": _derive_narrative_outline(sections),
+        "page_copy": _derive_page_copy(
+            title, overview, actions,
+            audience=_derive_audience_profile(session, markdown)),
         "proposal_content_model": _derive_content_model(sections),
         "content_priority_plan": _derive_priority_plan(
             needs, risks, actions),
@@ -257,12 +261,90 @@ def _derive_proposal_page(title, overview, sections) -> dict:
     }
 
 
-def _derive_page_copy(title, overview, actions) -> dict:
+def _derive_page_copy(title, overview, actions, audience=None) -> dict:
+    """Audience-aware page copy (reference audience profile + page copy
+    composition web/server.py:38825-40509): decision-oriented readers
+    get an approval CTA, implementation-leaning audiences get a
+    kickoff CTA."""
+    audience = audience or {}
+    technical = "技术" in (audience.get("secondary") or "")
+    quick = audience.get("reading_depth") == "速览"
+    cta = "推进方案评审" if not technical else "安排技术对齐会"
+    tagline = _first_sentence(overview, 80) or title
+    if quick:
+        tagline = f"速览：{tagline}"[:88]
     return {
-        "hero_tagline": _first_sentence(overview, 80) or title,
-        "cta_label": "推进方案评审",
+        "hero_tagline": tagline,
+        "cta_label": cta,
         "closing_note": (actions[0][:80] if actions
                          else "与业务方确认优先级后启动一期。"),
+        "audience_tone": ("tech_alignment" if technical
+                          else "decision_oriented"),
+    }
+
+
+_NARRATIVE_STAGES = (
+    (("概述", "总体"), "开场", "用一段话交代结论与依据来源"),
+    (("需求",), "诉求", "列出访谈确认的核心诉求与优先级"),
+    (("分析",), "论证", "拆解现状、流程与约束，支撑后续方案"),
+    (("可视化", "图"), "图景", "用图表呈现优先级与流程全貌"),
+    (("方案", "建议"), "方案", "给出可比较、可落地的路径选项"),
+    (("风险",), "风险", "暴露主要风险与缓解思路"),
+    (("行动", "下一步"), "行动", "收敛为带负责人与时限的行动清单"),
+    (("澄清", "问题"), "留白", "明确仍需补采确认的信息缺口"),
+    (("附录", "证据"), "溯源", "每个结论都能回到原始问答"),
+)
+
+
+def _derive_narrative_outline(sections) -> list:
+    """Narrative beats, not bare titles (reference narrative composition
+    :39891-40509): each level-2 section gets its stage in the story arc,
+    a reading hook, and a one-line summary from its own content."""
+    outline = []
+    for s in sections:
+        if s["level"] != 2:
+            continue
+        stage, hook = "章节", ""
+        for keywords, st, hk in _NARRATIVE_STAGES:
+            if any(k in s["title"] for k in keywords):
+                stage, hook = st, hk
+                break
+        body = s["body"]
+        summary = _first_sentence(
+            re.sub(r"^\s*(?:[-*]|\d+\.)\s*", "",
+                   body.strip().split("\n")[0] if body.strip() else ""),
+            90)
+        summary = re.sub(r"\*\*([^*]+)\*\*", r"\1", summary)
+        outline.append({
+            "stage": stage,
+            "title": s["title"],
+            "hook": hook,
+            "summary": summary,
+            "anchor": s["id"],
+        })
+    return outline
+
+
+def _derive_decision_brief(title, overview, needs, risks, solutions,
+                           actions) -> dict:
+    """SCQA decision brief (situation -> complication -> resolution ->
+    asks) composed from the report's own sections — a one-screen pitch
+    distinct from the raw decision_summary lists (reference decision
+    brief/narrative v1 web/server.py:39891-40509)."""
+    situation = _first_sentence(overview, 140) or \
+        f"围绕「{title}」完成了结构化访谈与证据整理。"
+    complication = (risks[0][:120] if risks else
+                    (needs[0][:120] if needs else
+                     "现状流程存在效率与协同缺口。"))
+    resolution = (solutions[0][:140] if solutions else
+                  "按价值优先级分阶段落地改造方案。")
+    asks = [a[:90] for a in actions[:3]] or ["确认一期范围并安排方案评审"]
+    return {
+        "headline": f"{title}：从证据到行动的决策建议",
+        "situation": situation,
+        "complication": complication,
+        "resolution": resolution,
+        "asks": asks,
     }
 
 
@@ -305,7 +387,12 @@ def _derive_priority_plan(needs, risks, actions) -> dict:
     return {"strategy": "value_first", "items": items}
 
 
-def _derive_proposal_support(markdown: str, needs) -> dict:
+def _derive_proposal_support(markdown: str, needs,
+                             session=None) -> dict:
+    """Evidence claims + the drawer detail behind each Q-ref: the
+    solution page opens an evidence drawer on a reference chip
+    (reference solutionBindEvidenceDrawer, web/solution.js), so every
+    cited q_id carries its question/answer snippet."""
     q_ids = sorted(set(re.findall(r"\bQ\d{1,3}\b", markdown)),
                    key=lambda q: int(q[1:]))
     evidence = []
@@ -314,7 +401,20 @@ def _derive_proposal_support(markdown: str, needs) -> dict:
             [q_ids[i % len(q_ids)]] if q_ids else [])
         evidence.append({"claim": re.sub(r"\bQ\d{1,3}\b", "", n)[:140].strip(),
                          "refs": refs})
-    return {"evidence": evidence, "q_ids": q_ids}
+    detail = {}
+    log = (session or {}).get("interview_log") or []
+    for i, entry in enumerate(log, 1):
+        qid = f"Q{i}"
+        if qid not in q_ids:
+            continue
+        detail[qid] = {
+            "question": (entry.get("question") or "")[:160],
+            "answer": (entry.get("answer") or "")[:240],
+            "rationale": (entry.get("rationale_text") or "")[:160],
+            "dimension": entry.get("dimension") or "",
+        }
+    return {"evidence": evidence, "q_ids": q_ids,
+            "evidence_detail": detail}
 
 
 def _derive_audience_profile(session, markdown: str) -> dict:

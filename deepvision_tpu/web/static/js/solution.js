@@ -71,6 +71,7 @@
     parts.push('<div class="page">');
 
     parts.push(renderHeadlineCards(p.headline_cards || []));
+    parts.push(renderDecisionBrief(p.decision_brief));
     parts.push(renderDecisionSummary(p.decision_summary || {}));
     parts.push(renderChapterCopy(p.chapter_copy || {}));
     parts.push(renderProposalPage(p.proposal_page || {}));
@@ -224,15 +225,71 @@
         <div class="plan-item evidence-item"><span class="txt">${
           esc(e.claim)}</span>
           <span class="refs">${(e.refs || []).map((r) =>
-            `<span class="qref">${esc(r)}</span>`).join("")}</span>
+            `<a class="qref" href="#" data-qref="${esc(r)}">${
+              esc(r)}</a>`).join("")}</span>
         </div>`).join("")}</div>`;
   }
 
+  // Evidence drawer: a reference chip opens the underlying Q/A
+  // (reference solutionBindEvidenceDrawer, web/solution.js).
+  function openEvidenceDrawer(qid) {
+    const detail = ((PAYLOAD.proposal_support || {})
+      .evidence_detail || {})[qid];
+    closeEvidenceDrawer();
+    const d = document.createElement("div");
+    d.className = "evidence-drawer open";
+    d.id = "evidence-drawer";
+    d.innerHTML = detail ? `
+      <div class="drawer-head">
+        <span class="qref">${esc(qid)}</span>
+        <span class="dim">${esc(detail.dimension || "")}</span>
+        <a href="#" class="drawer-close" data-act="drawer-close">✕</a>
+      </div>
+      <div class="drawer-q">${esc(detail.question || "")}</div>
+      <div class="drawer-a">${esc(detail.answer || "")}</div>
+      ${detail.rationale
+        ? `<div class="drawer-r">补充说明：${esc(detail.rationale)}</div>`
+        : ""}`
+      : `<div class="drawer-head"><span class="qref">${esc(qid)}</span>
+           <a href="#" class="drawer-close" data-act="drawer-close">✕</a>
+         </div>
+         <div class="drawer-a muted">该引用没有可展示的问答详情。</div>`;
+    document.body.appendChild(d);
+  }
+
+  function closeEvidenceDrawer() {
+    const d = document.getElementById("evidence-drawer");
+    if (d) d.remove();
+  }
+
+  function renderDecisionBrief(db) {
+    if (!db || !db.headline) return "";
+    const row = (label, text) => text
+      ? `<div class="scqa-row"><span class="scqa-label">${label}</span>
+           <span class="scqa-text">${esc(text)}</span></div>`
+      : "";
+    return `<div class="panel decision-brief" id="decision-brief">
+      <h2>决策简报</h2>
+      <p class="headline">${esc(db.headline)}</p>
+      ${row("现状", db.situation)}
+      ${row("挑战", db.complication)}
+      ${row("解法", db.resolution)}
+      <div class="scqa-asks"><span class="scqa-label">请求决策</span>
+        <ul>${(db.asks || []).map((a) => `<li>${esc(a)}</li>`).join("")}
+        </ul></div></div>`;
+  }
+
   function renderNarrativeOutline(outline) {
-    if (outline.length < 2) return "";
+    if ((outline || []).length < 2) return "";
     return `<div class="panel" id="narrative"><h2>叙事主线</h2>
-      <ol class="timeline">${outline.map((t) =>
-      `<li><span class="dot"></span>${esc(t)}</li>`).join("")}</ol></div>`;
+      <ol class="timeline">${outline.map((t) => `
+        <li><span class="dot"></span>
+          <a class="beat" href="#${esc(t.anchor || "")}">
+            <span class="stage">${esc(t.stage || "")}</span>
+            <span class="beat-title">${esc(t.title || "")}</span>
+          </a>
+          <div class="beat-summary">${esc(t.summary || t.hook || "")}</div>
+        </li>`).join("")}</ol></div>`;
   }
 
   function renderSections(sections) {
@@ -319,10 +376,17 @@
     }
 
     document.body.addEventListener("click", async (ev) => {
+      const ref = ev.target.closest("[data-qref]");
+      if (ref) {
+        ev.preventDefault();
+        openEvidenceDrawer(ref.dataset.qref);
+        return;
+      }
       const act = ev.target.closest("[data-act]");
       if (!act) return;
       ev.preventDefault();
       if (act.dataset.act === "print") window.print();
+      else if (act.dataset.act === "drawer-close") closeEvidenceDrawer();
       else if (act.dataset.act === "share") await copyShareLink(act);
       else if (act.dataset.act === "fold") {
         const panel = act.closest(".collapsible");

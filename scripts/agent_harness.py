@@ -36,6 +36,13 @@ PROFILES = {
             ROOT, "scripts", "agent_static_guardrails.py")]),
         ("browser-smoke", [sys.executable, os.path.join(
             ROOT, "scripts", "agent_browser_smoke.py")]),
+        # the frontend EXECUTED in the minijs runtime (reference runs
+        # Playwright UI smoke: agent_browser_smoke_runner.mjs) — kept as
+        # a named stage so a JS regression is visible as its own failure
+        ("frontend-js", [sys.executable, "-m", "pytest",
+                         "tests/test_frontend_js.py",
+                         "tests/test_guard_matrix.py", "-q",
+                         "--no-header"]),
     ],
 }
 

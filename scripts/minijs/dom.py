@@ -232,6 +232,15 @@ class Element(Node):
         if prop == "classList":
             return el.classList
         if prop == "style":
+            # seed the style object from the inline style attribute once
+            # (browsers expose style="display:none" via el.style.display)
+            if not el.style.props and el.attrs.get("style"):
+                for part in el.attrs["style"].split(";"):
+                    if ":" in part:
+                        k, v = part.split(":", 1)
+                        k = re.sub(r"-([a-z])",
+                                   lambda m: m.group(1).upper(), k.strip())
+                        el.style.props[k] = v.strip()
             return el.style
         if prop == "dataset":
             return el.dataset

@@ -74,7 +74,20 @@ def answer_question(page, custom=None):
         opts = card.query_all(".option")
         assert opts, card.inner_html()[:400]
         page.click(opts[0])
+    # pick_with_reason questions hard-require a rationale client-side
+    reason_box = page.maybe("#iv-reason-box")
+    display = (reason_box.style.props.get("display")
+               if reason_box is not None and reason_box.style.props
+               else ("none" if reason_box is not None and "display:none" in
+                     (reason_box.attrs.get("style") or "").replace(" ", "")
+                     else ""))
+    if reason_box is not None and display != "none":
+        page.type_into("#iv-reason",
+                       "因为现有流程依赖人工处理，高峰期单据积压严重")
     page.click("#iv-submit")
+    err = page.maybe("#iv-q-err")
+    assert not (err is not None and err.get_text().strip()), \
+        f"submit blocked: {err.get_text()}"
 
 
 # ---------------------------------------------------------------------------
@@ -269,6 +282,38 @@ def test_solution_page_renders_full_payload(client):
     # hero + sections mounted
     assert sol.document.query(".hero") is not None or \
         "总体概述" in text
+
+
+def test_solution_evidence_drawer_opens_on_qref_click(client):
+    page = page_for(client)
+    login(page)
+    create_session(page, topic="证据抽屉")
+    _run_report_flow(client, page)
+    report_name = page.location_href.split("#report/")[1]
+    sol = BrowserPage(client, f"/solution.html?report={report_name}")
+    ref = sol.maybe("[data-qref]")
+    assert ref is not None, "evidence panel must render qref chips"
+    sol.click(ref)
+    drawer = sol.q("#evidence-drawer")
+    body = drawer.get_text()
+    assert body.strip()
+    # close button removes it
+    sol.click(drawer.query(".drawer-close"))
+    assert sol.maybe("#evidence-drawer") is None
+    assert not sol.errors(), sol.errors()
+
+
+def test_solution_decision_brief_and_narrative_render(client):
+    page = page_for(client)
+    login(page)
+    create_session(page, topic="决策简报渲染")
+    _run_report_flow(client, page)
+    report_name = page.location_href.split("#report/")[1]
+    sol = BrowserPage(client, f"/solution.html?report={report_name}")
+    assert sol.maybe("#decision-brief") is not None
+    assert "请求决策" in sol.text("#decision-brief")
+    beats = sol.document.query_all("#narrative .stage")
+    assert beats, "narrative beats must render stage chips"
 
 
 # ---------------------------------------------------------------------------

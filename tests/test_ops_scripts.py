@@ -580,3 +580,110 @@ def test_ownership_cli_rejects_bad_input(owned_dir):
     r = run_script("admin_migrate_ownership.py", "--data-dir", data_dir,
                    "rollback", "--backup", "missing.json")
     assert r.returncode != 0
+
+
+# ---------------------------------------------------------------------------
+# preflight replay + evidence-annotation migration (reference
+# scripts/replay_preflight_diagnostics.py:1 +
+# migrate_session_evidence_annotations.py:1)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture()
+def legacy_dir():
+    """A data dir with one legacy session lacking evidence annotations
+    and with weak/uncovered dimensions (preflight must fire)."""
+    tmp = tempfile.TemporaryDirectory()
+    from deepvision_tpu.web.meta_index import MetaIndex
+    from deepvision_tpu.web.stores import SessionStore
+
+    meta = MetaIndex(os.path.join(tmp.name, "meta_index.sqlite3"))
+    store = SessionStore(tmp.name, meta)
+    store.save({
+        "session_id": "dv-20260103000000-lega0001",
+        "owner_user_id": "1", "instance_scope": "default",
+        "topic": "遗留会话", "status": "in_progress",
+        "created_at": "2026-01-03T00:00:00Z",
+        "updated_at": "2026-01-03T00:00:00Z",
+        "scenario_config": {"dimensions": [
+            {"id": "goal", "name": "目标",
+             "key_aspects": ["核心目标", "量化指标"]},
+            {"id": "flow", "name": "流程", "key_aspects": ["现状流程"]},
+        ]},
+        "dimensions": {},
+        "interview_log": [
+            {"question": "目标是什么？", "answer": "提效", "dimension": "goal"},
+            {"question": "再具体点？", "answer": "不太确定",
+             "dimension": "goal", "is_follow_up": True},
+            {"question": "预算？",
+             "answer": "预算两百万元，必须兼容现有ERP接口，因为数据不出机房",
+             "dimension": "goal",
+             "rationale_text": "管理层定的硬约束"},
+        ],
+        "reference_materials": [],
+    })
+    yield tmp.name
+    tmp.cleanup()
+
+
+def test_preflight_replay_reports_triggers(legacy_dir):
+    out_json = os.path.join(legacy_dir, "replay.json")
+    r = run_script("replay_preflight_diagnostics.py",
+                   "--data-dir", legacy_dir, "--all", "--json", out_json)
+    assert r.returncode == 0, r.stderr
+    assert "预检" in r.stdout and "首次触发" in r.stdout
+    with open(out_json, encoding="utf-8") as fh:
+        data = json.load(fh)
+    s = data["sessions"][0]
+    assert s["answers"] == 3
+    assert s["triggers"] >= 1
+    assert s["first_trigger"]["step"] >= 1
+    assert s["by_dimension"]
+    # cooldown suppression: with a huge cooldown only one trigger fires
+    r2 = run_script("replay_preflight_diagnostics.py",
+                    "--data-dir", legacy_dir, "--all",
+                    "--cooldown-steps", "99", "--json", out_json)
+    with open(out_json, encoding="utf-8") as fh:
+        data2 = json.load(fh)
+    assert data2["sessions"][0]["triggers"] <= s["triggers"]
+
+
+def test_evidence_migration_dry_run_then_apply_then_restore(legacy_dir):
+    # dry run: reports the gap, changes nothing
+    r = run_script("migrate_session_evidence_annotations.py",
+                   "--data-dir", legacy_dir, "migrate", "--all")
+    assert r.returncode == 0, r.stderr
+    assert "DRY-RUN" in r.stdout and "evidence_class" in r.stdout
+    from deepvision_tpu.web.meta_index import MetaIndex
+    from deepvision_tpu.web.stores import SessionStore
+
+    store = SessionStore(legacy_dir, MetaIndex(
+        os.path.join(legacy_dir, "meta_index.sqlite3")))
+    sid = "dv-20260103000000-lega0001"
+    assert "evidence_class" not in store.load(sid)["interview_log"][0]
+
+    # apply: annotations land, backup + manifest written
+    r = run_script("migrate_session_evidence_annotations.py",
+                   "--data-dir", legacy_dir, "migrate", "--all",
+                   "--apply", "--backup-dir", "evmig-test")
+    assert r.returncode == 0, r.stderr
+    entry = store.load(sid)["interview_log"][0]
+    assert entry["evidence_class"]
+    assert "quality_score" in entry
+    manifest = os.path.join(legacy_dir, "operations", "evmig-test",
+                            "manifest.json")
+    assert os.path.isfile(manifest)
+
+    # restore: the un-annotated original comes back
+    r = run_script("migrate_session_evidence_annotations.py",
+                   "--data-dir", legacy_dir, "restore",
+                   "--manifest", manifest)
+    assert r.returncode == 0, r.stderr
+    assert "evidence_class" not in store.load(sid)["interview_log"][0]
+
+
+def test_evidence_migration_idempotent(legacy_dir):
+    run_script("migrate_session_evidence_annotations.py",
+               "--data-dir", legacy_dir, "migrate", "--all", "--apply")
+    r = run_script("migrate_session_evidence_annotations.py",
+                   "--data-dir", legacy_dir, "migrate", "--all")
+    assert "没有需要迁移的会话" in r.stdout
