@@ -40,6 +40,66 @@ from deepvision_tpu.web.runtime.followup import (  # noqa: E402
 from deepvision_tpu.web.stores import ReportStore, SessionStore  # noqa: E402
 
 
+def load_sqlite_users(db_path: str) -> list:
+    """users rows (user_id, phone, nickname) + wechat openid joins from a
+    deployment's auth DB — both source and target sides share the
+    schema (authn.py)."""
+    import sqlite3
+
+    conn = sqlite3.connect(db_path)
+    conn.row_factory = sqlite3.Row
+    users = [dict(r) for r in conn.execute(
+        "SELECT user_id, phone, nickname FROM users")]
+    openids = {}
+    try:
+        for r in conn.execute(
+                "SELECT user_id, openid FROM wechat_identities"):
+            openids.setdefault(r["user_id"], []).append(r["openid"])
+    except sqlite3.OperationalError:
+        pass
+    conn.close()
+    for u in users:
+        u["openids"] = openids.get(u["user_id"], [])
+    return users
+
+
+def resolve_user_mapping(source_users: list, target_users: list,
+                         user_map: dict, fallback_owner) -> dict:
+    """source user_id -> {target, method} (reference
+    resolve_source_user_mappings import_external...py:408): explicit
+    JSON map wins, then phone match, then WeChat openid match, then the
+    --owner fallback; otherwise unmapped (reported, refused on apply)."""
+    by_phone = {u["phone"]: u for u in target_users if u.get("phone")}
+    by_openid = {}
+    for u in target_users:
+        for oid in u.get("openids", []):
+            by_openid[oid] = u
+    mapping = {}
+    for su in source_users:
+        sid = str(su["user_id"])
+        if sid in user_map:
+            mapping[sid] = {"target": str(user_map[sid]),
+                            "method": "user_map_json"}
+            continue
+        hit = by_phone.get(su.get("phone"))
+        if hit is not None:
+            mapping[sid] = {"target": str(hit["user_id"]),
+                            "method": "phone_match"}
+            continue
+        hit = next((by_openid[o] for o in su.get("openids", [])
+                    if o in by_openid), None)
+        if hit is not None:
+            mapping[sid] = {"target": str(hit["user_id"]),
+                            "method": "wechat_match"}
+            continue
+        if fallback_owner is not None:
+            mapping[sid] = {"target": str(fallback_owner),
+                            "method": "fallback_owner"}
+        else:
+            mapping[sid] = {"target": None, "method": "unmapped"}
+    return mapping
+
+
 def validate_session(session: dict) -> list:
     problems = []
     if not isinstance(session, dict):
@@ -61,8 +121,16 @@ def main():
     p.add_argument("source_dir", help="source deployment data dir")
     p.add_argument("--data-dir", default=os.environ.get(
         "DEEPVISION_DATA_DIR", "data"))
-    p.add_argument("--owner", required=True,
-                   help="owner_user_id to stamp on imported records")
+    p.add_argument("--owner", default=None,
+                   help="owner_user_id to stamp on imported records "
+                        "(fallback when --source-auth-db is given)")
+    p.add_argument("--source-auth-db", default="",
+                   help="source deployment's auth DB: enables multi-user "
+                        "import with per-owner mapping (phone/WeChat "
+                        "match against this instance's accounts)")
+    p.add_argument("--user-map-json", default="",
+                   help='explicit {"users": {"<src_id>": <target_id>}} '
+                        "mapping overrides")
     p.add_argument("--scope", default="default")
     p.add_argument("--on-conflict", choices=("skip", "overwrite", "suffix"),
                    default="skip")
@@ -71,11 +139,52 @@ def main():
     p.add_argument("--include-scenarios", action="store_true")
     p.add_argument("--include-summaries", action="store_true")
     p.add_argument("--dry-run", action="store_true")
+    p.add_argument("--output-json", default="",
+                   help="write the import plan/result to a JSON file")
     args = p.parse_args()
+    if args.owner is None and not args.source_auth_db:
+        p.error("--owner is required without --source-auth-db")
 
     meta = MetaIndex(os.path.join(args.data_dir, "meta_index.sqlite3"))
     sessions = SessionStore(args.data_dir, meta)
     reports = ReportStore(args.data_dir, meta)
+
+    # ---- user mapping plan (reference :408-495) -------------------------
+    user_mapping: dict = {}
+    if args.source_auth_db:
+        if not os.path.isfile(args.source_auth_db):
+            print(f"source auth db not found: {args.source_auth_db}")
+            return 1
+        source_users = load_sqlite_users(args.source_auth_db)
+        target_db = os.path.join(args.data_dir, "auth", "auth.sqlite3")
+        target_users = (load_sqlite_users(target_db)
+                        if os.path.isfile(target_db) else [])
+        user_map = {}
+        if args.user_map_json:
+            with open(args.user_map_json, encoding="utf-8") as fh:
+                user_map = {str(k): v for k, v in
+                            (json.load(fh).get("users") or {}).items()}
+        user_mapping = resolve_user_mapping(
+            source_users, target_users, user_map, args.owner)
+        print("用户映射计划：")
+        for sid, m in sorted(user_mapping.items(), key=lambda x: x[0]):
+            print(f"  源用户 {sid} -> "
+                  f"{m['target'] if m['target'] else '（未映射）'} "
+                  f"[{m['method']}]")
+        unmapped = [sid for sid, m in user_mapping.items()
+                    if m["target"] is None]
+        if unmapped and not args.dry_run:
+            print(f"拒绝执行：{len(unmapped)} 个源用户无法映射 "
+                  f"({', '.join(unmapped[:5])})。提供 --user-map-json "
+                  f"或 --owner 兜底后重试。")
+            return 1
+
+    def owner_for(source_owner) -> str:
+        if user_mapping:
+            m = user_mapping.get(str(source_owner))
+            if m and m["target"]:
+                return m["target"]
+        return str(args.owner)
 
     suffix = f"-imp{int(time.time()) % 100000}"
     manifest = {
@@ -85,8 +194,28 @@ def main():
         "source": os.path.abspath(args.source_dir),
         "owner": str(args.owner), "scope": args.scope,
         "on_conflict": args.on_conflict,
+        "user_mapping": user_mapping,
     }
     report_renames: dict = {}
+
+    # pre-scan source sessions: report -> source owner (reference
+    # build_source_report_owner_map :523) so multi-user imports stamp
+    # each report with its mapped owner, not a blanket --owner
+    report_source_owner: dict = {}
+    src_sessions_dir = os.path.join(args.source_dir, "sessions")
+    if os.path.isdir(src_sessions_dir):
+        for name in os.listdir(src_sessions_dir):
+            if not name.endswith(".json"):
+                continue
+            try:
+                with open(os.path.join(src_sessions_dir, name),
+                          encoding="utf-8") as fh:
+                    s = json.load(fh)
+            except (OSError, json.JSONDecodeError):
+                continue
+            for key in ("current_report_name", "last_report_name"):
+                if s.get(key):
+                    report_source_owner[s[key]] = s.get("owner_user_id")
 
     # ---- reports first (so session pointers can remap) -----------------
     src_reports = os.path.join(args.source_dir, "reports")
@@ -114,8 +243,11 @@ def main():
                 print(f"[dry-run] report {name}"
                       + (f" -> {target}" if target != name else ""))
             else:
-                reports.save(target, content, owner_user_id=str(args.owner),
-                             instance_scope=args.scope)
+                reports.save(
+                    target, content,
+                    owner_user_id=owner_for(
+                        report_source_owner.get(name)),
+                    instance_scope=args.scope)
             manifest["reports"].append(target)
 
     # ---- sessions -------------------------------------------------------
@@ -148,7 +280,8 @@ def main():
                 if args.on_conflict == "suffix":
                     sid = sid + suffix
             session["session_id"] = sid
-            session["owner_user_id"] = str(args.owner)
+            session["owner_user_id"] = owner_for(
+                session.get("owner_user_id"))
             session["instance_scope"] = args.scope
             # remap report bindings if the report was re-suffixed
             for key in ("current_report_name", "last_report_name"):
@@ -223,6 +356,10 @@ def main():
     manifest_path = os.path.join(ops_dir, f"import-{int(time.time())}.json")
     if not args.dry_run:
         with open(manifest_path, "w", encoding="utf-8") as fh:
+            json.dump(manifest, fh, ensure_ascii=False, indent=1)
+
+    if args.output_json:
+        with open(args.output_json, "w", encoding="utf-8") as fh:
             json.dump(manifest, fh, ensure_ascii=False, indent=1)
 
     mode = "[dry-run] " if args.dry_run else ""

@@ -687,3 +687,111 @@ def test_evidence_migration_idempotent(legacy_dir):
     r = run_script("migrate_session_evidence_annotations.py",
                    "--data-dir", legacy_dir, "migrate", "--all")
     assert "没有需要迁移的会话" in r.stdout
+
+
+# ---------------------------------------------------------------------------
+# multi-user import with user mapping (reference
+# resolve_source_user_mappings import_external...py:408)
+# ---------------------------------------------------------------------------
+
+def _make_auth_db(path, users):
+    import sqlite3
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    conn = sqlite3.connect(path)
+    conn.execute("""CREATE TABLE users (
+        user_id INTEGER PRIMARY KEY, phone TEXT, nickname TEXT,
+        level TEXT, is_admin INTEGER DEFAULT 0, created_at TEXT,
+        last_login_at TEXT)""")
+    conn.execute("""CREATE TABLE wechat_identities (
+        openid TEXT PRIMARY KEY, user_id INTEGER, unionid TEXT,
+        nickname TEXT, created_at TEXT)""")
+    for uid, phone, openid in users:
+        conn.execute(
+            "INSERT INTO users (user_id, phone, nickname) VALUES (?,?,?)",
+            (uid, phone, f"u{uid}"))
+        if openid:
+            conn.execute(
+                "INSERT INTO wechat_identities (openid, user_id) "
+                "VALUES (?, ?)", (openid, uid))
+    conn.commit()
+    conn.close()
+
+
+def test_multi_user_import_maps_owners(tmp_path):
+    src = tmp_path / "src"
+    dst = tmp_path / "dst"
+    (src / "sessions").mkdir(parents=True)
+    dst.mkdir()
+    # source: users 1 (phone match), 2 (wechat match), 3 (json map)
+    _make_auth_db(str(src / "auth" / "auth.sqlite3"), [
+        (1, "13900003001", None),
+        (2, None, "wx-openid-2"),
+        (3, None, None),
+    ])
+    _make_auth_db(str(dst / "auth" / "auth.sqlite3"), [
+        (11, "13900003001", None),
+        (12, None, "wx-openid-2"),
+        (13, "13900003099", None),
+    ])
+    for i, owner in ((1, 1), (2, 2), (3, 3)):
+        with open(src / "sessions" / f"dv-2026010400000{i}-mu{i:06d}.json",
+                  "w", encoding="utf-8") as fh:
+            json.dump({
+                "session_id": f"dv-2026010400000{i}-mu{i:06d}",
+                "owner_user_id": str(owner), "topic": f"多用户{i}",
+                "status": "completed", "interview_log": [
+                    {"question": "q", "answer": "a", "dimension": "d"}],
+                "dimensions": {}, "reference_materials": [],
+            }, fh, ensure_ascii=False)
+    umap = tmp_path / "map.json"
+    umap.write_text(json.dumps({"users": {"3": 13}}), encoding="utf-8")
+
+    # dry-run prints the plan
+    r = run_script("import_external_local_data_to_cloud.py", str(src),
+                   "--data-dir", str(dst),
+                   "--source-auth-db", str(src / "auth" / "auth.sqlite3"),
+                   "--user-map-json", str(umap), "--dry-run")
+    assert r.returncode == 0, r.stderr
+    assert "phone_match" in r.stdout and "wechat_match" in r.stdout
+    assert "user_map_json" in r.stdout
+
+    # apply stamps each session with its mapped target
+    r = run_script("import_external_local_data_to_cloud.py", str(src),
+                   "--data-dir", str(dst),
+                   "--source-auth-db", str(src / "auth" / "auth.sqlite3"),
+                   "--user-map-json", str(umap))
+    assert r.returncode == 0, r.stderr
+    from deepvision_tpu.web.meta_index import MetaIndex
+    from deepvision_tpu.web.stores import SessionStore
+    store = SessionStore(str(dst), MetaIndex(
+        str(dst / "meta_index.sqlite3")))
+    owners = {store.load(f"dv-2026010400000{i}-mu{i:06d}")
+              ["owner_user_id"] for i in (1, 2, 3)}
+    assert owners == {"11", "12", "13"}
+
+
+def test_multi_user_import_refuses_unmapped_on_apply(tmp_path):
+    src = tmp_path / "src"
+    dst = tmp_path / "dst"
+    (src / "sessions").mkdir(parents=True)
+    dst.mkdir()
+    _make_auth_db(str(src / "auth" / "auth.sqlite3"),
+                  [(9, None, None)])   # unmappable
+    with open(src / "sessions" / "dv-20260104000009-mu000009.json", "w",
+              encoding="utf-8") as fh:
+        json.dump({"session_id": "dv-20260104000009-mu000009",
+                   "owner_user_id": "9", "topic": "孤儿",
+                   "status": "completed", "interview_log": [
+                       {"question": "q", "answer": "a"}],
+                   "dimensions": {}, "reference_materials": []}, fh)
+    r = run_script("import_external_local_data_to_cloud.py", str(src),
+                   "--data-dir", str(dst),
+                   "--source-auth-db", str(src / "auth" / "auth.sqlite3"))
+    assert r.returncode == 1
+    assert "拒绝执行" in r.stdout
+    # --owner fallback unblocks
+    r = run_script("import_external_local_data_to_cloud.py", str(src),
+                   "--data-dir", str(dst), "--owner", "42",
+                   "--source-auth-db", str(src / "auth" / "auth.sqlite3"))
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "fallback_owner" in r.stdout
