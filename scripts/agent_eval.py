@@ -118,14 +118,23 @@ def run_scenario(client, scenario: dict, app=None) -> list:
     return failures
 
 
+CALIBRATION_DIR = os.path.join(ROOT, "tests", "harness_calibration")
+
+
 def main():
     p = argparse.ArgumentParser(description="scenario evaluator")
     p.add_argument("--pattern", default="*.json")
+    p.add_argument("--calibration", action="store_true",
+                   help="run the must-fail calibration corpus: every "
+                        "scenario marked expect_outcome=fail MUST fail, "
+                        "proving the evaluator still detects regressions "
+                        "(reference tests/harness_calibration/)")
     args = p.parse_args()
 
     from deepvision_tpu.web.server import create_app
 
-    paths = sorted(glob.glob(os.path.join(SCENARIO_DIR, "**", args.pattern),
+    scan_dir = CALIBRATION_DIR if args.calibration else SCENARIO_DIR
+    paths = sorted(glob.glob(os.path.join(scan_dir, "**", args.pattern),
                              recursive=True))
     if not paths:
         print("no scenarios found", file=sys.stderr)
@@ -148,7 +157,19 @@ def main():
                 app.state.report_queue.drain(timeout=20)
             finally:
                 app.state.shutdown()
-        rel = os.path.relpath(path, SCENARIO_DIR)
+        rel = os.path.relpath(path, scan_dir)
+        must_fail = scenario.get("expect_outcome") == "fail"
+        if must_fail:
+            # calibration semantics: a scenario that PASSES means the
+            # evaluator lost its teeth for this regression class
+            if failures:
+                print(f"✅ {rel} correctly detected "
+                      f"({len(failures)} findings)")
+            else:
+                total_fail += 1
+                print(f"❌ {rel}: expected the evaluator to fail "
+                      f"but it passed — detector regression")
+            continue
         if failures:
             total_fail += 1
             print(f"❌ {rel}")

@@ -795,3 +795,33 @@ def test_multi_user_import_refuses_unmapped_on_apply(tmp_path):
                    "--source-auth-db", str(src / "auth" / "auth.sqlite3"))
     assert r.returncode == 0, r.stdout + r.stderr
     assert "fallback_owner" in r.stdout
+
+
+def test_agent_ops_status_and_views(tmp_path):
+    from deepvision_tpu.web.meta_index import MetaIndex
+    from deepvision_tpu.web.stores import SessionStore
+
+    store = SessionStore(str(tmp_path), MetaIndex(
+        str(tmp_path / "meta_index.sqlite3")))
+    store.save({"session_id": "dv-20260105000000-ops00001",
+                "owner_user_id": "1", "instance_scope": "default",
+                "topic": "ops", "status": "in_progress",
+                "created_at": "2026-01-05T00:00:00Z",
+                "updated_at": "2026-01-05T00:00:00Z",
+                "interview_log": [], "dimensions": {},
+                "reference_materials": []})
+    r = run_script("agent_ops.py", "--data-dir", str(tmp_path))
+    assert r.returncode == 0, r.stderr
+    assert "session_index: 1" in r.stdout
+    assert "dv-mini.npz" in r.stdout
+    assert "bench vs BASELINE" in r.stdout
+    r = run_script("agent_ops.py", "models", "--data-dir", str(tmp_path))
+    assert r.returncode == 0 and "checkpoints" in r.stdout
+    r = run_script("agent_ops.py", "bench", "--data-dir", str(tmp_path))
+    assert r.returncode == 0 and "BENCH_r01.json" in r.stdout
+
+
+def test_agent_eval_calibration_mode():
+    r = run_script("agent_eval.py", "--calibration")
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert r.stdout.count("correctly detected") == 5
