@@ -27,31 +27,42 @@ import time
 import zipfile
 
 
-QUESTION_PROMPT = (
-    "你是一名资深需求访谈顾问，正在进行结构化访谈。\n\n"
-    "访谈主题：企业客户关系管理系统需求调研\n\n"
-    "当前维度：客户需求（关注要点：核心痛点、期望价值、使用场景）\n\n"
-    "历史问答：\n"
-    + "问：当前流程的主要痛点是什么？\n答：跨部门协作效率低，数据分散，"
-      "报表手工汇总耗时，管理层缺少实时视图。\n" * 10
-    + "\n请生成下一个访谈问题，输出 JSON："
-      '{"question": "问题文本(≤240字)", "options": ["选项1", ...2-6项], '
-      '"multi_select": bool, "is_follow_up": false, '
-      '"answer_mode": "pick_only|pick_with_reason", '
-      '"requires_rationale": bool, "evidence_intent": "low|medium|high", '
-      '"ai_recommendation": "推荐选项或null"}'
-)
+# Prompts render through the SAME canonical builders the app serves
+# with (runtime/interview.build_interview_prompt, prompt_formats.
+# report_draft_prompt) — a from-scratch checkpoint decodes degenerately
+# on out-of-distribution prompt shapes, so a handwritten bench prompt
+# measures fiction (round-3 lesson: a trailing "(任务N)" suffix cut
+# dv-base drafts from ~900 tokens to ~84).
 
-REPORT_PROMPT = (
-    "你是一名需求分析专家。请基于以下访谈证据，为主题「企业客户关系管理系统」"
-    "撰写结构化报告草稿，输出 JSON，键：overview, needs, analysis, "
-    "visualizations, solutions, risks, actions, open_questions, "
-    "evidence_index。\n访谈证据：\n"
-    + "\n".join(
-        f"[Q{i}] 问：关于维度{i}的现状与期望？ 答：存在流程断点，期望自动化，"
-        "预算与时间窗口受限。" for i in range(1, 9)
-    )
-)
+def question_prompt(i: int, round_no: int) -> str:
+    from deepvision_tpu.web.runtime.interview import build_interview_prompt
+
+    session = {
+        "topic": f"企业客户关系管理系统需求调研（分部{i}）",
+        "description": "",
+        "summary": "",
+        "interview_log": [
+            {"question": "当前流程的主要痛点是什么？",
+             "answer": "跨部门协作效率低，数据分散，报表手工汇总耗时，"
+                       "管理层缺少实时视图。"}
+        ] * (8 + round_no),
+        "reference_materials": [],
+    }
+    dim = {"name": "客户需求",
+           "key_aspects": ["核心痛点", "期望价值", "使用场景"]}
+    return build_interview_prompt(session, dim)
+
+
+def report_prompt(i: int) -> str:
+    from deepvision_tpu.web.runtime import prompt_formats
+
+    facts = [
+        (f"Q{k}", f"关于维度{k}的现状与期望？",
+         "存在流程断点，期望自动化，预算与时间窗口受限。")
+        for k in range(1, 9)
+    ]
+    return prompt_formats.report_draft_prompt(
+        f"企业客户关系管理系统（事业部{i}）", facts)
 
 
 def _bench_questions(engine, n_sessions, n_threads, max_tokens):
@@ -69,7 +80,7 @@ def _bench_questions(engine, n_sessions, n_threads, max_tokens):
             for round_no in (1, 2):
                 t0 = time.time()
                 _, meta = engine.generate_text(
-                    QUESTION_PROMPT + f"\n会话:{i} 第{round_no}问。",
+                    question_prompt(i, round_no),
                     max_tokens=max_tokens, temperature=0.7, top_k=40,
                     timeout=600, prefix_key=f"bench-sess-{i}",
                     json_mode=True,
@@ -104,7 +115,7 @@ def _bench_reports(engine, n_reports, n_threads, max_tokens):
     def worker(i):
         try:
             _, meta = engine.generate_text(
-                REPORT_PROMPT + f"\n(报告任务 {i})",
+                report_prompt(i),
                 max_tokens=max_tokens, temperature=0.7, top_k=40,
                 timeout=900, json_mode=True,
             )
@@ -194,9 +205,12 @@ def _bench_scale(pipeline, chain):
     ctx_tokens = 600
     prompt = ("需求访谈背景：" + "流程现状与痛点，预算与排期约束。" * 60)[:ctx_tokens]
 
-    # prefill: single cold request (no prefix reuse)
-    _, meta = eng.generate_text(prompt, max_tokens=1, temperature=0.0,
-                                timeout=900)
+    # throwaway request first: any shape not covered by warmup compiles
+    # here, so the MEASURED prefill below is runtime, not XLA
+    _, _ = eng.generate_text(prompt, max_tokens=8, temperature=0.0,
+                             timeout=900)
+    _, meta = eng.generate_text(prompt + "。", max_tokens=1,
+                                temperature=0.0, timeout=900)
     prefill_ms = meta["prefill_ms"]
     prompt_tokens = meta["prompt_tokens"]
 
@@ -215,6 +229,7 @@ def _bench_scale(pipeline, chain):
             with lock:
                 errors.append(f"{type(e).__name__}: {e}")
 
+    steps_before = eng.stats()["decode_steps"]
     t0 = time.time()
     threads = [threading.Thread(target=worker, args=(i,)) for i in range(B)]
     for t in threads:
@@ -222,10 +237,11 @@ def _bench_scale(pipeline, chain):
     for t in threads:
         t.join()
     wall = time.time() - t0
+    steps = eng.stats()["decode_steps"] - steps_before
     eng.shutdown()
     tokens = sum(done)
     tok_s = tokens / wall if wall > 0 else 0.0
-    step_ms = (B / tok_s * 1e3) if tok_s > 0 else -1.0
+    step_ms = (wall * 1e3 / steps) if steps else -1.0
 
     # roofline: each decode step streams all params (bf16) + the live KV
     # pages for B sequences from HBM
