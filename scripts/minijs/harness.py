@@ -18,12 +18,12 @@ import json as _json
 import re
 import urllib.parse
 
-from scripts.minijs.dom import Document, Element, dispatch_event
+from scripts.minijs.dom import Document, dispatch_event
 from scripts.minijs.interp import (
-    UNDEF, Interpreter, JSArray, JSError, JSObject, JSPromise,
-    NativeFunction, js_num, js_str, js_truthy, to_js,
+    UNDEF, Interpreter, JSArray, JSObject, JSPromise,
+    NativeFunction, js_str, js_truthy, to_js,
 )
-from scripts.minijs.stdlib import JSMap, make_error
+from scripts.minijs.stdlib import make_error
 
 
 class _Window(JSObject):

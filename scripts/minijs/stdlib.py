@@ -12,9 +12,9 @@ import time as _time
 import urllib.parse
 
 from scripts.minijs.interp import (
-    UNDEF, BoundMethod, Env, JSArray, JSFunction, JSObject, JSPromise,
+    UNDEF, BoundMethod, JSArray, JSFunction, JSObject, JSPromise,
     JSRegExp, NativeFunction, _Throw, from_js, js_num, js_str, js_truthy,
-    loose_eq, strict_eq, to_js,
+    strict_eq, to_js,
 )
 
 
