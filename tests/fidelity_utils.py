@@ -112,7 +112,11 @@ def _shape(value, depth=0):
         return {"__len__": len(value),
                 "__first__": _shape(value[0], depth + 1) if value else None}
     if isinstance(value, str):
-        head = value[:24].replace("\n", " ")
+        # wall-clock stamps inside content (e.g. "生成时间：2026-08-20
+        # 07:03") would make snapshots drift run-to-run — normalize them
+        stable = re.sub(r"\d{4}-\d{2}-\d{2}[ T]?(?:\d{2}:\d{2}(?::\d{2})?Z?)?",
+                        "<TS>", value)
+        head = stable[:24].replace("\n", " ")
         return f"str:{head}" if value.strip() else "str:EMPTY"
     if isinstance(value, bool) or value is None:
         return value

@@ -211,7 +211,14 @@ def test_solution_decision_summary_mirrors_report(results):
     ds = p["decision_summary"]
     assert ds["conclusion"]
     assert ds["top_needs"], "needs must flow from report to solution"
-    assert p["decision_brief"] == ds
+    # decision_brief is the SCQA one-screen pitch composed FROM the same
+    # report sections (solution.py _derive_decision_brief) — distinct
+    # shape from the raw decision_summary lists, but grounded in them
+    brief = p["decision_brief"]
+    for key in ("headline", "situation", "complication", "resolution",
+                "asks"):
+        assert brief.get(key), f"decision_brief missing {key}"
+    assert isinstance(brief["asks"], list) and brief["asks"]
 
 
 def test_solution_nav_matches_sections(results):
