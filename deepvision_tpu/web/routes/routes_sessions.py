@@ -736,11 +736,23 @@ def _schedule_prefetch(state, session_id: str) -> None:
             result, meta = state.question_gen.generate(
                 session, dimension, capture_contract=contract,
             )
+            # annotate with the SAME route-added fields as the live path
+            # (A.2 contract: cache hits serve the full normalized payload,
+            # reference :29948 caches post-annotation results)
             payload = dict(result)
             payload.update(
                 dimension=dimension["id"],
                 ai_generated=meta.get("tier_used") != "fallback",
+                decision_meta=_decision_meta(state, session, dimension,
+                                             meta),
                 question_generation_tier=meta.get("tier_used"),
+                question_selected_lane=meta.get("selected_lane"),
+                question_runtime_profile=session.get("interview_mode"),
+                question_hedge_triggered=meta.get("hedge_triggered",
+                                                  False),
+                question_fallback_triggered=meta.get(
+                    "fallback_triggered", False),
+                question_attempts=meta.get("attempts", 1),
             )
             with state.prefetch_lock:
                 state.prefetch[session_id] = {
