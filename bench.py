@@ -302,7 +302,10 @@ def main():
     fast_model, fast_tok = resolve(("dv-fast", "dv-mini", "dv-base"))
     big_model, big_tok = resolve(("dv-base", "dv-fast", "dv-mini"))
 
-    pipeline = os.environ.get("DV_BENCH_PIPELINE", "1") == "1"
+    # default OFF — the controlled A/B measured pipelined decode 6x
+    # slower on the tunneled chip (PERF_NOTES round 3); the bench runs
+    # what the server defaults run.
+    pipeline = os.environ.get("DV_BENCH_PIPELINE", "0") == "1"
     chain = int(os.environ.get("DV_BENCH_CHAIN", "4"))
 
     if on_tpu:

@@ -26,8 +26,13 @@ ENGINE_REPLICAS = 1              # local replicas per model (router when >1)
 ENGINE_REMOTE_URLS = ""          # comma list of remote engine services (DCN)
 ENGINE_DECODE_STEPS_PER_CALL = 8
 # chain fused decode calls from device-resident state (hides the ~28ms
-# tunneled host-sync per call; measured 4.4x decode tok/s on v5e)
-ENGINE_PIPELINE_DECODE = True
+# tunneled host-sync per call).  Default OFF: the round-3 controlled A/B
+# (PERF_NOTES "Pipelined decode A/B") measured it 6x SLOWER for decode
+# and 18x worse TTFT on the tunneled v5e in BOTH run orders — chains
+# hold the device across admissions and the async readback path does
+# not overlap through the tunnel.  Kept as an opt-in for bare-metal
+# deployments where dispatch is the bottleneck.
+ENGINE_PIPELINE_DECODE = False
 ENGINE_MAX_CHAINED_DECODES = 4
 ENGINE_CHUNKED_PREFILL = True
 ENGINE_PREFILL_CHUNK_SIZE = 256

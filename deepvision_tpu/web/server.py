@@ -263,7 +263,7 @@ class AppState:
                     decode_steps_per_call=cfg.get_int(
                         "ENGINE_DECODE_STEPS_PER_CALL", 8),
                     pipeline_decode=cfg.get_bool(
-                        "ENGINE_PIPELINE_DECODE", True),
+                        "ENGINE_PIPELINE_DECODE", False),
                     max_chained_decodes=cfg.get_int(
                         "ENGINE_MAX_CHAINED_DECODES", 4),
                     chunked_prefill=cfg.get_bool(
