@@ -229,7 +229,7 @@ def _bench_scale(pipeline, chain):
             with lock:
                 errors.append(f"{type(e).__name__}: {e}")
 
-    steps_before = eng.stats()["decode_steps"]
+    s0 = eng.stats()
     t0 = time.time()
     threads = [threading.Thread(target=worker, args=(i,)) for i in range(B)]
     for t in threads:
@@ -237,11 +237,15 @@ def _bench_scale(pipeline, chain):
     for t in threads:
         t.join()
     wall = time.time() - t0
-    steps = eng.stats()["decode_steps"] - steps_before
+    s1 = eng.stats()
+    steps = s1["decode_steps"] - s0["decode_steps"]
+    # pure decode dispatch+readback time (scheduler decode_time_s);
+    # wall/steps would blame prefill + admission on the decode step
+    decode_s = s1["decode_time_s"] - s0["decode_time_s"]
     eng.shutdown()
     tokens = sum(done)
     tok_s = tokens / wall if wall > 0 else 0.0
-    step_ms = (wall * 1e3 / steps) if steps else -1.0
+    step_ms = (decode_s * 1e3 / steps) if steps else -1.0
 
     # roofline: each decode step streams all params (bf16) + the live KV
     # pages for B sequences from HBM
@@ -256,6 +260,7 @@ def _bench_scale(pipeline, chain):
         "decode_slots": B,
         "decode_ms_per_step": round(step_ms, 2),
         "decode_tokens_per_s": round(tok_s, 1),
+        "request_wall_s": round(wall, 2),
         "decode_hbm_floor_ms": round(step_floor_ms, 2),
         "decode_roofline_frac": round(step_floor_ms / step_ms, 3)
         if step_ms > 0 else 0.0,

@@ -303,6 +303,7 @@ class LLMEngine:
             "queues": s.queue_depths(),
             "tokens_generated": s.tokens_generated,
             "decode_steps": s.steps,
+            "decode_time_s": round(s.decode_time_s, 3),
             "requests_finished": s.requests_finished,
             "rejected_overload": s.rejected_overload,
         }

@@ -203,6 +203,10 @@ class ContinuousBatchingScheduler:
         self.steps = 0
         self.requests_finished = 0
         self.rejected_overload = 0
+        # wall time spent INSIDE decode dispatch+readback — lets callers
+        # separate true decode cost (decode_time_s / steps) from
+        # prefill/admission/queue time in the same wall-clock window
+        self.decode_time_s = 0.0
 
         cache_cfg = runner.cache_cfg
         self._page_size = cache_cfg.page_size
@@ -620,6 +624,7 @@ class ContinuousBatchingScheduler:
         tokens, lens, bt, temps, topk, topp, dstates, budgets = batch
 
         if not (self.pipeline_decode and K > 1 and not self._prefilling):
+            t_dec = time.monotonic()
             try:
                 out = self.runner.decode(
                     tokens, lens, bt, temps, topk, topp, n_steps=K,
@@ -628,6 +633,8 @@ class ContinuousBatchingScheduler:
             except Exception as e:  # noqa: BLE001 — engine must not die
                 self._fail_active(e)
                 return True
+            finally:
+                self.decode_time_s += time.monotonic() - t_dec
             for seq, reason in self._consume_decode_out(out, K):
                 self._retire(seq, reason)
             return True
@@ -635,6 +642,15 @@ class ContinuousBatchingScheduler:
         # --- pipelined chain: dispatch call k+1 (fed by device-resident
         # last-token/DFA state) BEFORE reading call k back, hiding the
         # host-sync RTT behind device compute -------------------------------
+        t_dec = time.monotonic()
+        try:
+            return self._decode_step_pipelined(
+                K, tokens, lens, bt, temps, topk, topp, dstates, budgets)
+        finally:
+            self.decode_time_s += time.monotonic() - t_dec
+
+    def _decode_step_pipelined(self, K, tokens, lens, bt, temps, topk,
+                               topp, dstates, budgets) -> bool:
         try:
             tok_dev, last_tok, last_state = self.runner.decode_async(
                 tokens, lens, bt, temps, topk, topp, n_steps=K,
