@@ -400,6 +400,11 @@ class TieredQuestionGenerator:
                         tier_used="full",
                         selected_lane=call_meta.get("lane"),
                         attempts=attempts,
+                        # the full tier rescued a request the fast tier
+                        # already burned an attempt on — the local
+                        # analogue of the reference's hedge lane winning
+                        # the race (interview_runtime.py:1284)
+                        hedge_triggered=attempts > 1,
                     )
                     return result, meta
         except Exception:

@@ -247,6 +247,7 @@ def test_fast_tier_wins_when_parseable():
     assert meta["tier_used"] == "fast"
     assert meta["selected_lane"] == "question_fast_lane"
     assert meta["attempts"] == 1
+    assert meta["hedge_triggered"] is False
     assert result["question"] == GOOD["question"]
     assert [c[0] for c in gw.calls] == ["question_fast"]
     # fast tier runs with its own clamps
@@ -262,6 +263,8 @@ def test_fast_tier_garbage_falls_through_to_full():
     assert meta["tier_used"] == "full"
     assert meta["attempts"] == 2
     assert [c[0] for c in gw.calls] == ["question_fast", "question"]
+    # full tier rescued a burned fast attempt = the hedge analogue fired
+    assert meta["hedge_triggered"] is True
 
 
 def test_fast_tier_error_falls_through_to_full():
