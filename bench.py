@@ -342,7 +342,9 @@ def main():
             page_size=64,
             max_pages_per_seq=32,
             max_pending=64,
-            decode_steps_per_call=8,
+            # K=16 on the throughput-bound report lane: measured
+            # 37.5ms/call fixed + 10ms/step -> 12.3 ms/token-step
+            decode_steps_per_call=16,
             pipeline_decode=pipeline,
             max_chained_decodes=chain,
             chunked_prefill=True,

@@ -25,6 +25,9 @@ ENGINE_TP = 1
 ENGINE_REPLICAS = 1              # local replicas per model (router when >1)
 ENGINE_REMOTE_URLS = ""          # comma list of remote engine services (DCN)
 ENGINE_DECODE_STEPS_PER_CALL = 8
+# throughput-bound report engines use a longer fused window (K-sweep:
+# per-call 37.5ms fixed + 10ms/step -> K=16 is 12.3 ms/token-step)
+ENGINE_REPORT_DECODE_STEPS = 16
 # chain fused decode calls from device-resident state (hides the ~28ms
 # tunneled host-sync per call).  Default OFF: the round-3 controlled A/B
 # (PERF_NOTES "Pipelined decode A/B") measured it 6x SLOWER for decode

@@ -74,6 +74,9 @@ DESCRIPTORS: List[SettingDescriptor] = [
        requires_restart=True),
     _d("ENGINE_DECODE_STEPS_PER_CALL", "ai", "int",
        "单次调度融合解码步数（K）", min_value=1, max_value=64),
+    _d("ENGINE_REPORT_DECODE_STEPS", "ai", "int",
+       "报告引擎融合解码步数（吞吐优先，默认 16）",
+       min_value=1, max_value=64, requires_restart=True),
     _d("ENGINE_PIPELINE_DECODE", "ai", "bool",
        "流水线解码（设备驻留状态链式调度，隐藏主机同步延迟）",
        requires_restart=True),

@@ -242,7 +242,8 @@ class AppState:
             _FAST_PREF = ("dv-fast", "dv-base", "dv-mini")
             _QUALITY_PREF = ("dv-base", "dv-fast", "dv-mini")
 
-            def engine_cfg(model_name: str) -> EngineConfig:
+            def engine_cfg(model_name: str,
+                           decode_k: Optional[int] = None) -> EngineConfig:
                 tok = cfg.get_str("ENGINE_TOKENIZER", "auto")
                 if tok in ("", "auto"):
                     # the BPE vocab only pairs with models trained on it
@@ -260,7 +261,7 @@ class AppState:
                     max_pages_per_seq=cfg.get_int(
                         "ENGINE_MAX_PAGES_PER_SEQ", 32),
                     tp=cfg.get_int("ENGINE_TP", 1),
-                    decode_steps_per_call=cfg.get_int(
+                    decode_steps_per_call=decode_k or cfg.get_int(
                         "ENGINE_DECODE_STEPS_PER_CALL", 8),
                     pipeline_decode=cfg.get_bool(
                         "ENGINE_PIPELINE_DECODE", False),
@@ -304,8 +305,20 @@ class AppState:
             remote_urls = [
                 u for u in cfg.get_list("ENGINE_REMOTE_URLS") if u
             ]
+            # Throughput-bound report engines take a longer fused decode
+            # window: per-call cost measured 37.5ms fixed + 10ms/step on
+            # the tunneled v5e, so K=16 cuts 14.7 -> 12.3 ms/token-step
+            # (PERF_NOTES round-3 K-sweep).  Question engines keep K=8
+            # for TTFT (shorter device holds between admissions).
+            q_models = {lane_models[k] for k in
+                        ("question", "question_fast", "question_deep")}
+            r_models = {lane_models[k] for k in
+                        ("report", "report_draft", "report_review")}
+            report_k = cfg.get_int("ENGINE_REPORT_DECODE_STEPS", 16)
             for model_name in dict.fromkeys(lane_models.values()):
-                replicas = [LLMEngine(engine_cfg(model_name))
+                decode_k = (report_k if model_name in r_models
+                            and model_name not in q_models else None)
+                replicas = [LLMEngine(engine_cfg(model_name, decode_k))
                             for _ in range(n_replicas)]
                 if remote_urls:
                     from deepvision_tpu.engine.service import RemoteEngine

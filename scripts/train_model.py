@@ -74,6 +74,12 @@ def main():
     ap.add_argument("--early-stop", type=int, default=0,
                     help="stop after N consecutive val evals without "
                          "improvement (0 = run all steps)")
+    ap.add_argument("--pp", type=int, default=1,
+                    help="pipeline-parallel stages (GPipe over a 'pipe' "
+                         "mesh axis; requires n_layers %% pp == 0 and "
+                         ">= pp devices)")
+    ap.add_argument("--pp-micro", type=int, default=4,
+                    help="microbatches per PP step (batch %% micro == 0)")
     ap.add_argument("--dense-attn", action="store_true",
                     help="use the dense XLA attention path (CPU/debug)")
     args = ap.parse_args()
@@ -125,9 +131,53 @@ def main():
         init = jax.tree.map(
             lambda x: x.astype(jax.numpy.float32), load_npz(args.resume))
         print(f"resumed params from {args.resume}", flush=True)
-    trainer = Trainer(cfg, tx=tx, seed=args.seed,
-                      param_dtype=jax.numpy.float32,
-                      use_kernel=use_kernel, init=init)
+    pp_step = None
+    if args.pp > 1:
+        # GPipe pipeline parallelism: the layer stack shards over a
+        # 'pipe' mesh axis (pipeline_parallel.py); dense attention only
+        # (the schedule differentiates through ppermute hops)
+        from deepvision_tpu.engine.pipeline_parallel import (
+            make_pp_mesh, make_pp_train_step, place_pp_params,
+            pp_stage_layers,
+        )
+        from deepvision_tpu.engine.weights import init_params
+
+        assert args.batch % args.pp_micro == 0, (args.batch, args.pp_micro)
+        pp_stage_layers(cfg, args.pp)
+        pp_mesh = make_pp_mesh(args.pp)
+        params0 = init if init is not None else init_params(
+            cfg, args.seed, dtype=jax.numpy.float32)
+        trainer = None
+        pp_params = place_pp_params(params0, pp_mesh, cfg)
+        pp_opt = jax.jit(tx.init)(pp_params)
+        pp_step = make_pp_train_step(cfg, tx, pp_mesh, args.pp_micro)
+
+        class _PPTrainer:
+            """Minimal Trainer facade over the PP step."""
+
+            def __init__(self):
+                self.params = pp_params
+                self.opt_state = pp_opt
+                self.step_count = 0
+
+            def train_step_async(self, batch):
+                self.params, self.opt_state, loss = pp_step(
+                    self.params, self.opt_state,
+                    jax.numpy.asarray(batch))
+                self.step_count += 1
+                return loss
+
+            def train_step(self, batch):
+                return float(self.train_step_async(batch))
+
+        trainer = _PPTrainer()
+        print(f"pipeline parallel: {args.pp} stages x "
+              f"{cfg.n_layers // args.pp} layers, "
+              f"{args.pp_micro} microbatches", flush=True)
+    else:
+        trainer = Trainer(cfg, tx=tx, seed=args.seed,
+                          param_dtype=jax.numpy.float32,
+                          use_kernel=use_kernel, init=init)
     print(f"{args.model}: {count_params(trainer.params)/1e6:.1f}M params, "
           f"backend={jax.default_backend()}, "
           f"attn={'pallas' if use_kernel else 'dense'}", flush=True)

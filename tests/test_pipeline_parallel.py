@@ -122,3 +122,39 @@ def test_pp_specs_cover_all_params():
     jax.tree.map(lambda p, s: None, params,
                  jax.tree.map(lambda x: x, specs,
                               is_leaf=lambda x: hasattr(x, "index")))
+
+
+def test_train_model_cli_pp_smoke(tmp_path):
+    """scripts/train_model.py --pp 2: the CLI path trains a dv-mini on
+    the virtual mesh and writes a loadable checkpoint."""
+    import os
+    import subprocess
+    import sys
+
+    corpus = tmp_path / "c.txt"
+    corpus.write_text("访谈问答示例，流程与预算。\n" * 400, encoding="utf-8")
+    out = tmp_path / "pp.npz"
+    code = (
+        "import jax; jax.config.update('jax_platforms','cpu');"
+        "import runpy, sys; sys.argv = ['train_model.py',"
+        "'--model','dv-mini','--tokenizer',"
+        "'resources/tokenizer/dv_bpe_8k.json',"
+        f"'--corpus', r'{corpus}', '--out', r'{out}',"
+        "'--steps','2','--batch','4','--seq','64','--pp','2',"
+        "'--pp-micro','2','--log-every','1','--save-every','100',"
+        "'--val-frac','0.2'];"
+        "runpy.run_path('scripts/train_model.py', run_name='__main__')"
+    )
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
+                        + " --xla_force_host_platform_device_count=8")
+    env["PYTHONPATH"] = os.getcwd() + os.pathsep + env.get("PYTHONPATH", "")
+    r = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                       text=True, env=env, timeout=900, cwd=os.getcwd())
+    assert r.returncode == 0, (r.stdout[-500:], r.stderr[-1500:])
+    assert "pipeline parallel: 2 stages" in r.stdout
+    assert out.exists()
+    from deepvision_tpu.engine.weights import load_npz
+
+    params = load_npz(str(out))
+    assert params["blocks"]["wq"].shape[0] == 6  # full stack re-gathered
