@@ -107,6 +107,153 @@ def render_live(out: dict) -> None:
 
 
 # ---------------------------------------------------------------------------
+# health gate (reference agent_observe's alert rules): machine-usable
+# for deploy monitors — exit 1 on any critical breach
+# ---------------------------------------------------------------------------
+
+HEALTH_THRESHOLDS = {
+    "ai_p95_ms": 8000.0,       # report SLO envelope (BASELINE.md 210s cap,
+                               # interactive envelope far tighter)
+    "queue_wait_p95_ms": 2000.0,
+    "min_free_pages": 1,       # 0 free pages = KV pool exhausted
+    "max_failed_reports": 0,
+    "stale_hours": 0.0,        # 0 disables the stale-activity check
+}
+
+
+def evaluate_health(out: dict, thresholds: dict | None = None) -> list:
+    """Rule sweep over a collected snapshot (live or local); returns
+    [{severity: crit|warn|info, rule, detail}] sorted crit-first."""
+    th = dict(HEALTH_THRESHOLDS)
+    th.update(thresholds or {})
+    findings = []
+
+    def add(severity, rule, detail):
+        findings.append({"severity": severity, "rule": rule,
+                         "detail": detail})
+
+    st = out.get("status") or {}
+    circuit = st.get("gateway_circuit") or {}
+    if circuit:
+        add("crit", "lanes_in_cooldown",
+            f"gateway circuit open for {sorted(circuit)}")
+    rq = st.get("report_queue") or {}
+    if (rq.get("failed") or 0) > th["max_failed_reports"]:
+        add("crit", "report_failures",
+            f"{rq['failed']} failed report jobs")
+    if (rq.get("rejected") or 0) > 0:
+        add("warn", "report_queue_rejections",
+            f"{rq['rejected']} submissions rejected (queue full)")
+    for name, eng in (st.get("engine") or {}).items():
+        q = eng.get("queues") or {}
+        free = q.get("free_pages")
+        if free is not None and free < th["min_free_pages"]:
+            add("crit", "kv_pool_exhausted",
+                f"engine[{name}] free_pages={free}")
+        if (q.get("high") or 0) > 16:
+            add("warn", "deep_high_priority_queue",
+                f"engine[{name}] high-priority backlog {q['high']}")
+
+    metrics = out.get("metrics") or {}
+    ai = metrics.get("ai_calls") or {}
+    p95 = (ai.get("total_ms") or {}).get("p95")
+    if p95 is not None and p95 > th["ai_p95_ms"]:
+        add("warn", "ai_latency_p95",
+            f"ai call p95 {p95}ms > {th['ai_p95_ms']}ms")
+    qw95 = (ai.get("queue_wait_ms") or {}).get("p95")
+    if qw95 is not None and qw95 > th["queue_wait_p95_ms"]:
+        add("warn", "ai_queue_wait_p95",
+            f"queue wait p95 {qw95}ms > {th['queue_wait_p95_ms']}ms")
+    ol = metrics.get("list_overload") or {}
+    shed = {k: v for k, v in ol.items() if v}
+    if shed:
+        add("warn", "list_load_shedding", f"429s: {shed}")
+    qg = metrics.get("question_generation") or {}
+    fb = qg.get("fallback_triggered") or 0
+    n = qg.get("count") or 0
+    if n >= 10 and fb / n > 0.2:
+        add("crit", "question_fallback_rate",
+            f"{fb}/{n} questions served by the rule fallback")
+
+    if th["stale_hours"] > 0 and out.get("source") == "local":
+        last = (out.get("sessions") or {}).get("last")
+        if last:
+            import datetime as _dt
+
+            try:
+                ts = _dt.datetime.fromisoformat(
+                    str(last).replace("Z", "+00:00"))
+                age_h = ((_dt.datetime.now(_dt.timezone.utc) - ts)
+                         .total_seconds() / 3600.0)
+                if age_h > th["stale_hours"]:
+                    add("info", "stale_activity",
+                        f"no session activity for {age_h:.1f}h")
+            except ValueError:
+                pass
+
+    order = {"crit": 0, "warn": 1, "info": 2}
+    findings.sort(key=lambda f: order[f["severity"]])
+    return findings
+
+
+# ---------------------------------------------------------------------------
+# trend history: deltas between persisted metrics snapshots
+# ---------------------------------------------------------------------------
+
+def collect_history(data_dir: str, n: int = 12) -> list:
+    """Last ``n`` runtime_metrics_store snapshots reduced to per-interval
+    rates (the flusher persists CUMULATIVE stats; trends need deltas)."""
+    from deepvision_tpu.web.meta_index import MetaIndex
+
+    meta_path = os.path.join(data_dir, "meta_index.sqlite3")
+    if not os.path.isfile(meta_path):
+        raise SystemExit(f"no meta index at {meta_path}")
+    meta = MetaIndex(meta_path)
+    rows = list(meta.query(
+        "SELECT payload, created_at FROM runtime_metrics_store "
+        "WHERE kind = 'snapshot' ORDER BY id DESC LIMIT ?", (n + 1,)))
+    rows.reverse()
+    points = []
+    for row in rows:
+        try:
+            points.append((row["created_at"], json.loads(row["payload"])))
+        except (ValueError, KeyError):
+            continue
+    trend = []
+    for (t0, a), (t1, b) in zip(points, points[1:]):
+        na = (a.get("ai_calls") or {}).get("count") or 0
+        nb = (b.get("ai_calls") or {}).get("count") or 0
+        qa = (a.get("question_generation") or {}).get("count") or 0
+        qb = (b.get("question_generation") or {}).get("count") or 0
+        fa = (a.get("question_generation") or {}).get(
+            "fallback_triggered") or 0
+        fb = (b.get("question_generation") or {}).get(
+            "fallback_triggered") or 0
+        trend.append({
+            "at": t1,
+            "ai_calls": max(0, nb - na),
+            "questions": max(0, qb - qa),
+            "fallbacks": max(0, fb - fa),
+            "ai_p95_ms": (b.get("ai_calls") or {}).get(
+                "total_ms", {}).get("p95"),
+        })
+    return trend
+
+
+def render_history(trend: list) -> None:
+    if not trend:
+        print("no snapshot history (metrics flusher writes every "
+              "flush_interval while the server runs)")
+        return
+    print(f"{'snapshot at':<22}{'ai calls':>9}{'questions':>10}"
+          f"{'fallbacks':>10}{'p95 ms':>9}")
+    for p in trend:
+        print(f"{str(p['at'])[:21]:<22}{p['ai_calls']:>9}"
+              f"{p['questions']:>10}{p['fallbacks']:>10}"
+              f"{str(p['ai_p95_ms'] or '-'):>9}")
+
+
+# ---------------------------------------------------------------------------
 # local (post-mortem) mode
 # ---------------------------------------------------------------------------
 
@@ -201,7 +348,22 @@ def main():
     p.add_argument("--watch", type=float, default=0,
                    help="refresh every N seconds")
     p.add_argument("--json", action="store_true", dest="as_json")
+    p.add_argument("--health", action="store_true",
+                   help="evaluate alert rules; exit 1 on any critical")
+    p.add_argument("--stale-hours", type=float, default=0.0,
+                   help="flag no-activity staleness (local mode)")
+    p.add_argument("--history", type=int, default=0, metavar="N",
+                   help="show per-interval trends over the last N "
+                        "persisted metrics snapshots (local mode)")
     args = p.parse_args()
+
+    if args.history:
+        trend = collect_history(args.data_dir, args.history)
+        if args.as_json:
+            print(json.dumps(trend, ensure_ascii=False, indent=1))
+        else:
+            render_history(trend)
+        return 0
 
     def once():
         if args.local:
@@ -214,6 +376,19 @@ def main():
                 print(f"server unreachable ({e}); falling back to "
                       f"--local {args.data_dir}", file=sys.stderr)
                 out = collect_local(args.data_dir)
+        if args.health:
+            findings = evaluate_health(
+                out, {"stale_hours": args.stale_hours})
+            if args.as_json:
+                print(json.dumps(findings, ensure_ascii=False, indent=1))
+            else:
+                for f in findings:
+                    print(f"[{f['severity'].upper():<4}] {f['rule']}: "
+                          f"{f['detail']}")
+                if not findings:
+                    print("healthy: no rule fired")
+            return 1 if any(f["severity"] == "crit"
+                            for f in findings) else 0
         if args.as_json:
             print(json.dumps(out, ensure_ascii=False, indent=1,
                              default=str))
@@ -221,6 +396,7 @@ def main():
             render_live(out)
         else:
             render_local(out)
+        return 0
 
     if args.watch > 0:
         try:
@@ -231,9 +407,8 @@ def main():
                 time.sleep(args.watch)
         except KeyboardInterrupt:
             return 0
-    else:
-        once()
-    return 0
+        return 0
+    return once()
 
 
 if __name__ == "__main__":

@@ -825,3 +825,102 @@ def test_agent_eval_calibration_mode():
     r = run_script("agent_eval.py", "--calibration")
     assert r.returncode == 0, r.stdout + r.stderr
     assert r.stdout.count("correctly detected") == 5
+
+
+# ---------------------------------------------------------------------------
+# agent_observe: health gate + trend history
+# ---------------------------------------------------------------------------
+
+def _load_observe():
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "agent_observe", os.path.join("scripts", "agent_observe.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_observe_health_rules_fire_on_bad_snapshot():
+    obs = _load_observe()
+    out = {
+        "source": "live",
+        "status": {
+            "gateway_circuit": {"report": {"until": 99}},
+            "report_queue": {"failed": 2, "rejected": 1},
+            "engine": {"dv-fast": {"queues": {"free_pages": 0,
+                                              "high": 20}}},
+        },
+        "metrics": {
+            "ai_calls": {"total_ms": {"p95": 9001.0},
+                         "queue_wait_ms": {"p95": 2500.0}},
+            "list_overload": {"sessions": 3},
+            "question_generation": {"count": 20,
+                                    "fallback_triggered": 10},
+        },
+    }
+    findings = obs.evaluate_health(out)
+    rules = {f["rule"] for f in findings}
+    assert {"lanes_in_cooldown", "report_failures", "kv_pool_exhausted",
+            "question_fallback_rate"} <= rules
+    assert {"ai_latency_p95", "ai_queue_wait_p95", "list_load_shedding",
+            "report_queue_rejections",
+            "deep_high_priority_queue"} <= rules
+    # crit sorted first
+    sev = [f["severity"] for f in findings]
+    assert sev == sorted(sev, key={"crit": 0, "warn": 1,
+                                   "info": 2}.__getitem__)
+
+
+def test_observe_health_quiet_on_clean_snapshot():
+    obs = _load_observe()
+    out = {"source": "live", "status": {
+        "gateway_circuit": {}, "report_queue": {"failed": 0},
+        "engine": {"dv-fast": {"queues": {"free_pages": 900,
+                                          "high": 0}}}},
+        "metrics": {"ai_calls": {"total_ms": {"p95": 300.0},
+                                 "queue_wait_ms": {"p95": 10.0}},
+                    "list_overload": {},
+                    "question_generation": {"count": 20,
+                                            "fallback_triggered": 0}}}
+    assert obs.evaluate_health(out) == []
+
+
+def test_observe_history_computes_interval_deltas(tmp_path):
+    from deepvision_tpu.web.meta_index import MetaIndex
+
+    obs = _load_observe()
+    data_dir = str(tmp_path)
+    meta = MetaIndex(os.path.join(data_dir, "meta_index.sqlite3"))
+    snaps = [
+        {"ai_calls": {"count": 10, "total_ms": {"p95": 100}},
+         "question_generation": {"count": 4, "fallback_triggered": 0}},
+        {"ai_calls": {"count": 25, "total_ms": {"p95": 140}},
+         "question_generation": {"count": 9, "fallback_triggered": 1}},
+        {"ai_calls": {"count": 31, "total_ms": {"p95": 120}},
+         "question_generation": {"count": 12, "fallback_triggered": 1}},
+    ]
+    for i, s in enumerate(snaps):
+        meta.execute(
+            "INSERT INTO runtime_metrics_store (kind, payload, created_at)"
+            " VALUES (?, ?, ?)",
+            ("snapshot", json.dumps(s), f"2026-08-20T0{i}:00:00Z"))
+    trend = obs.collect_history(data_dir, n=5)
+    assert [t["ai_calls"] for t in trend] == [15, 6]
+    assert [t["questions"] for t in trend] == [5, 3]
+    assert [t["fallbacks"] for t in trend] == [1, 0]
+    assert trend[-1]["ai_p95_ms"] == 120
+
+
+def test_observe_health_cli_exit_codes(tmp_path):
+    """--health over a clean local data dir exits 0; --history renders."""
+    from deepvision_tpu.web.meta_index import MetaIndex
+
+    data_dir = str(tmp_path)
+    MetaIndex(os.path.join(data_dir, "meta_index.sqlite3"))
+    r = run_script("agent_observe.py", "--local",
+                   "--data-dir", data_dir, "--health")
+    assert r.returncode == 0, r.stderr[-500:]
+    r = run_script("agent_observe.py",
+                   "--data-dir", data_dir, "--history", "5")
+    assert r.returncode == 0, r.stderr[-500:]
+    assert "no snapshot history" in r.stdout
