@@ -170,7 +170,7 @@
     stopWatchdog();
     lastLiveness = "";
     let softFired = false;
-    softTimer = setTimeout(() => {
+    const softFire = () => {
       softFired = true;
       const note = card.querySelector("#iv-soft-note");
       if (note) {
@@ -181,7 +181,8 @@
           nextQuestion();
         };
       }
-    }, SOFT_TIMEOUT_MS);
+    };
+    softTimer = setTimeout(softFire, SOFT_TIMEOUT_MS);
     hardTimer = setTimeout(() => {
       if (abortCtl) abortCtl.abort();
       renderQuestionError(
@@ -206,8 +207,11 @@
         }
         if (sig !== lastLiveness && !softFired) {
           lastLiveness = sig;
+          // server reported progress: push the soft deadline out, but
+          // keep the RECOVERY behavior when it eventually fires (a
+          // no-op re-arm here silently disabled the soft note)
           clearTimeout(softTimer);
-          softTimer = setTimeout(() => { softFired = true; }, SOFT_TIMEOUT_MS);
+          softTimer = setTimeout(softFire, SOFT_TIMEOUT_MS);
         }
       } catch (e) { /* liveness polling is best-effort */ }
     }, 2000);

@@ -387,3 +387,164 @@ def test_uncaught_js_errors_are_loud(client):
     from scripts.minijs.interp import JSError
     with pytest.raises(JSError):
         page.interp.run("nonExistentFunction42()")
+
+
+# ---------------------------------------------------------------------------
+# watchdog semantics (soft 30s note, hard 90s abort) + 429 Retry-After
+# — the reference's signature frontend behavior (web/app.js:13-14,
+# app_modules/interview_runtime.js:150-185,209), exercised on the
+# virtual clock with an intercepted fetch
+# ---------------------------------------------------------------------------
+
+def _intercept_fetch(page, handler):
+    """Replace the page's fetch: handler(path, delegate) returns a
+    JSPromise or None to delegate to the real WSGI-bridged fetch."""
+    from scripts.minijs.interp import NativeFunction, js_str
+
+    orig = page._fetch
+
+    def fetch(interp, this, args):
+        path = js_str(args[0])
+        out = handler(path, lambda: orig(interp, this, args), interp)
+        return out if out is not None else orig(interp, this, args)
+
+    page.interp.global_env.assign(
+        "fetch", NativeFunction(fetch, "fetch"))
+
+
+def test_watchdog_soft_note_then_hard_abort_on_hung_generation(client):
+    """A hung generation: the soft-30s recovery note must appear, then
+    the hard-90s watchdog must abort the fetch and render the terminal
+    error.  The interpreter blocks on await, so the intermediate UI
+    states are observed by a Python-side timer sampling the DOM every
+    virtual second while the promise hangs; the hung fetch honors the
+    AbortController signal (rejecting with AbortError) exactly like a
+    browser fetch."""
+    from scripts.minijs.interp import JSObject, JSPromise, UNDEF
+    from scripts.minijs.stdlib import make_error
+
+    page = page_for(client)
+    login(page, "13900009301")
+    hung = {"n": 0}
+    snapshots = []
+
+    def handler(path, delegate, interp):
+        if "/next-question" not in path:
+            return None
+        hung["n"] += 1
+        promise = JSPromise(interp)
+        # the abort signal from the init options (args captured by the
+        # interceptor are not passed here; read it off the live page)
+        card_sel = "#iv-question-card"
+
+        def check():
+            if promise.state != JSPromise.PENDING:
+                return
+            el = page.maybe(card_sel)
+            snapshots.append((interp.clock_ms,
+                              el.get_text() if el is not None else ""))
+            sig = _current_abort_signal(page)
+            if sig is not None and getattr(sig, "aborted", False):
+                promise.reject(make_error(
+                    "The operation was aborted", "AbortError"))
+                return
+            interp.set_timer(check, 1000.0)
+
+        interp.set_timer(check, 1000.0)
+        return promise
+
+    def _current_abort_signal(page):
+        # interview.js stores the controller in a module closure; the
+        # fetch init's signal object is the same one — find it via the
+        # last created _AbortController (tracked below)
+        return created[-1].props["signal"] if created else None
+
+    from scripts.minijs.harness import _AbortController
+
+    created = []
+    ac_ns = page.interp.global_env.vars["AbortController"]
+
+    def construct(i, a):
+        ctl = _AbortController(i)
+        created.append(ctl)
+        return ctl
+
+    ac_ns.props["__construct__"] = construct
+
+    _intercept_fetch(page, handler)
+    page.click("#new-session-btn")
+    page.type_into("#ns-topic", "看门狗验证调研")
+    page.click("#ns-create")
+
+    # final state: hard-90s abort rendered the terminal error + retry
+    text = page.text("#iv-question-card")
+    assert "硬阈值" in text, text
+    assert page.maybe("#iv-retry") is not None
+    assert hung["n"] >= 1
+
+    # intermediate states sampled while hung: spinner first, then the
+    # soft-30s note with its retry button, before the hard abort
+    early = [s for t, s in snapshots if t_rel(t, snapshots) < 29000]
+    mid = [s for t, s in snapshots
+           if 31000 < t_rel(t, snapshots) < 89000]
+    assert any("正在生成" in s for s in early), snapshots[:3]
+    assert any("生成时间较长" in s for s in mid), \
+        [s[:40] for _, s in snapshots[28:35]]
+    assert UNDEF is not None  # silence unused-import style checks
+    assert isinstance(created[0], JSObject)
+
+
+def t_rel(t, snapshots):
+    t0 = snapshots[0][0] if snapshots else 0.0
+    return t - t0 + 1000.0  # first sample fires 1s after the request
+
+
+def test_429_retry_after_auto_retries_and_succeeds(client):
+    from scripts.minijs.harness import BrowserPage  # noqa: F401
+    from scripts.minijs.interp import JSObject, JSPromise, NativeFunction
+
+    page = page_for(client)
+    login(page, "13900009303")
+    state = {"fired": False}
+
+    def handler(path, delegate, interp):
+        if "/next-question" in path and not state["fired"]:
+            state["fired"] = True
+
+            def _header_get(i, t, a):
+                from scripts.minijs.interp import js_str as _s
+                return {"retry-after": "1",
+                        "content-type": "application/json"}.get(
+                            _s(a[0]).lower())
+
+            def _json_p(i, t, a):
+                p = JSPromise(i)
+                p.resolve(
+                    __import__("scripts.minijs.interp",
+                               fromlist=["to_js"]).to_js(
+                        {"error": "engine overloaded"}, i))
+                return p
+
+            resp = JSObject({
+                "status": 429.0,
+                "ok": False,
+                "headers": JSObject(
+                    {"get": NativeFunction(_header_get, "get")}),
+                "json": NativeFunction(_json_p, "json"),
+                "text": NativeFunction(_json_p, "text"),
+            })
+            p = JSPromise(interp)
+            p.resolve(resp)
+            return p
+        return None
+
+    _intercept_fetch(page, handler)
+    page.click("#new-session-btn")
+    page.type_into("#ns-topic", "限流重试验证调研")
+    page.click("#ns-create")
+    # the retry timer (Retry-After: 1s) fires on the virtual clock and
+    # the second attempt reaches the real backend
+    page.settle(max_virtual_ms=5000)
+    assert state["fired"] is True
+    assert page.maybe(".question-text") is not None, \
+        page.text("#iv-question-card")
