@@ -332,10 +332,17 @@ class AppState:
                     from deepvision_tpu.engine.router import EngineRouter
 
                     engines[model_name] = EngineRouter(replicas)
-            for eng in engines.values():
-                # warm at boot so the first request never pays a cold
-                # compile (EngineConfig.warmup gates the actual work)
-                eng.start()
+            # warm at boot so the first request never pays a cold
+            # compile (EngineConfig.warmup gates the actual work);
+            # engines boot CONCURRENTLY — their compile/cache-load
+            # phases overlap through the remote helper, so boot cost is
+            # the slower engine, not the sum (PERF_NOTES round 3)
+            boot_threads = [threading.Thread(target=eng.start)
+                            for eng in engines.values()]
+            for t in boot_threads:
+                t.start()
+            for t in boot_threads:
+                t.join()
             lanes = {
                 name: profile.replace(engine=lane_models.get(
                     name, next(iter(engines))))
