@@ -179,12 +179,15 @@ def _model_param_count(mc) -> int:
     return mc.n_layers * (attn + mlp + 2 * mc.d_model) + embed + mc.d_model
 
 
-def _bench_scale(pipeline, chain):
+def _bench_scale(pipeline, chain, quantize=""):
     """dv-1b scale datum (VERDICT r2 #5): decode ms/token-step and
     prefill latency on the 1.1B-class preset (random weights — this
     measures the serving stack at scale, not model quality), plus
     honest roofline accounting: decode %-of-HBM-roofline and prefill
-    MFU against v5e peaks."""
+    MFU against v5e peaks.  ``quantize="int8"`` reruns the same stack
+    with weight-only int8 (engine/quant.py): decode is params-streaming
+    bound, so the floor halves — the A/B shows how much of that the
+    fused convert-in-matmul path actually collects."""
     from deepvision_tpu.engine.config import get_model_config
     from deepvision_tpu.engine.engine import EngineConfig, LLMEngine
 
@@ -195,6 +198,7 @@ def _bench_scale(pipeline, chain):
         decode_steps_per_call=8, pipeline_decode=pipeline,
         max_chained_decodes=chain, chunked_prefill=True,
         prefill_chunk_size=256, interpret=False, warmup=True,
+        quantize=quantize,
     )
     t0 = time.time()
     eng = LLMEngine(cfg)
@@ -247,15 +251,21 @@ def _bench_scale(pipeline, chain):
     tok_s = tokens / wall if wall > 0 else 0.0
     step_ms = (decode_s * 1e3 / steps) if steps else -1.0
 
-    # roofline: each decode step streams all params (bf16) + the live KV
+    # roofline: each decode step streams all params (bf16, or int8+scales
+    # under weight-only quantization — embed stays bf16) + the live KV
     # pages for B sequences from HBM
+    if quantize == "int8":
+        embed_params = mc.vocab_size * mc.d_model
+        param_bytes = (n_params - embed_params) * 1 + embed_params * 2
+    else:
+        param_bytes = 2 * n_params
     kv_bytes = B * (ctx_tokens + 128) * mc.kv_bytes_per_token_bf16
-    step_floor_ms = (2 * n_params + kv_bytes) / V5E_HBM_BYTES_PER_S * 1e3
+    step_floor_ms = (param_bytes + kv_bytes) / V5E_HBM_BYTES_PER_S * 1e3
     prefill_flops = 2 * n_params * prompt_tokens
     prefill_mfu = (prefill_flops / (prefill_ms / 1e3) / V5E_BF16_FLOPS
                    if prefill_ms > 0 else 0.0)
     return {
-        "model": "dv-1b",
+        "model": "dv-1b" + ("-int8" if quantize == "int8" else ""),
         "params_m": round(n_params / 1e6, 1),
         "decode_slots": B,
         "decode_ms_per_step": round(step_ms, 2),
@@ -398,12 +408,17 @@ def main():
     except Exception:  # noqa: BLE001
         pages_per_s = -1.0
 
-    scale = None
+    scale = scale_int8 = None
     if on_tpu and os.environ.get("DV_BENCH_1B", "1") == "1":
         try:
             scale = _bench_scale(pipeline, chain)
         except Exception as e:  # noqa: BLE001
             scale = {"error": f"{type(e).__name__}: {e}"}
+        if os.environ.get("DV_BENCH_1B_INT8", "1") == "1":
+            try:
+                scale_int8 = _bench_scale(pipeline, chain, quantize="int8")
+            except Exception as e:  # noqa: BLE001
+                scale_int8 = {"error": f"{type(e).__name__}: {e}"}
 
     if not ttfts:
         print(json.dumps({
@@ -447,6 +462,7 @@ def main():
         "prefix_cache_report": r_stats.get("prefix_cache")
         if engine_r is not engine_q else None,
         "dv1b": scale,
+        "dv1b_int8": scale_int8,
     }))
     return 0
 

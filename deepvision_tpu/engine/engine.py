@@ -53,6 +53,18 @@ class EngineConfig:
     max_chained_decodes: int = 4
     chunked_prefill: bool = False
     prefill_chunk_size: int = 256
+    # Weight-only quantization for serving ("int8" | "").  Halves the
+    # HBM bytes decode streams per token-step (engine/quant.py); lossless
+    # for the app's grammar-constrained JSON in practice (tests pin
+    # parity), but off by default so checkpoints serve bit-identically.
+    quantize: str = ""
+    # Fuse wq|wk|wv and w_gate|w_up into single matmuls (engine/fuse.py).
+    # Default OFF: the whole decode step is ONE XLA program (no per-op
+    # launch cost to save), and the round-3 on-chip K-sweep measured the
+    # fused layout within noise of unfused (int8: 8.10 vs 8.20 ms/step at
+    # K=16; bf16 K=8 regressed 12→13 ms) — not worth invalidating every
+    # cached serving executable.  Single-device only (ignored when tp>1).
+    fuse_projections: bool = False
     seed: int = 0
     interpret: Optional[bool] = None
     # Grammar-constrained decoding (engine/constrained.py).  Enabled when
@@ -103,6 +115,18 @@ class LLMEngine:
             max_pages_per_seq=cfg.max_pages_per_seq,
         )
         params = load_or_init(self.model_cfg, cfg.checkpoint_dir, cfg.seed)
+        if cfg.fuse_projections and cfg.tp <= 1:
+            from deepvision_tpu.engine.fuse import fuse_params
+
+            params = fuse_params(params, self.model_cfg)
+        if cfg.quantize == "int8":
+            from deepvision_tpu.engine.quant import quantize_params
+
+            params = quantize_params(params)
+        elif cfg.quantize:
+            raise ValueError(
+                f"unknown quantize mode {cfg.quantize!r}; supported: int8"
+            )
 
         self.json_dfa = None
         if cfg.json_dfa and self.tokenizer.vocab_size <= cfg.json_dfa_max_vocab:

@@ -68,11 +68,47 @@ def _psum(x: jax.Array, axis: Optional[str]) -> jax.Array:
     return jax.lax.psum(x, axis) if axis else x
 
 
+def qdot(x, w, preferred_element_type=jnp.bfloat16):
+    """Matmul accepting a plain array OR an int8 quantized weight dict.
+
+    For ``{"q8", "scale"}`` weights (engine/quant.py) the int8 tensor is
+    what streams from HBM — XLA fuses the int8->bf16 convert into the MXU
+    tile loads — and the per-output-channel scale multiplies the result.
+    """
+    if isinstance(w, dict):
+        y = jnp.dot(
+            x.astype(jnp.bfloat16), w["q8"].astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
+        return (y * w["scale"]).astype(preferred_element_type)
+    return jnp.dot(x, w, preferred_element_type=preferred_element_type)
+
+
+def _qkv_proj(h, blk, cfg, dtype=jnp.bfloat16):
+    """q/k/v projections; one fused matmul when the params carry the
+    serving-fused ``w_qkv`` leaf (engine/fuse.py — single-device only,
+    so the full-model widths below are the local widths)."""
+    if "w_qkv" in blk:
+        qkv = qdot(h, blk["w_qkv"], preferred_element_type=dtype)
+        q_w = cfg.n_heads * cfg.head_dim
+        kv_w = cfg.n_kv_heads * cfg.head_dim
+        return (qkv[..., :q_w], qkv[..., q_w:q_w + kv_w],
+                qkv[..., q_w + kv_w:])
+    return (qdot(h, blk["wq"], preferred_element_type=dtype),
+            qdot(h, blk["wk"], preferred_element_type=dtype),
+            qdot(h, blk["wv"], preferred_element_type=dtype))
+
+
 def _mlp(x, blk, axis, compute_dtype=jnp.bfloat16):
-    gate = jnp.dot(x, blk["w_gate"], preferred_element_type=compute_dtype)
-    up = jnp.dot(x, blk["w_up"], preferred_element_type=compute_dtype)
+    if "w_gate_up" in blk:
+        gu = qdot(x, blk["w_gate_up"], preferred_element_type=compute_dtype)
+        F = gu.shape[-1] // 2
+        gate, up = gu[..., :F], gu[..., F:]
+    else:
+        gate = qdot(x, blk["w_gate"], preferred_element_type=compute_dtype)
+        up = qdot(x, blk["w_up"], preferred_element_type=compute_dtype)
     h = jax.nn.silu(gate.astype(jnp.float32)).astype(x.dtype) * up
-    down = jnp.dot(h, blk["w_down"], preferred_element_type=jnp.float32)
+    down = qdot(h, blk["w_down"], preferred_element_type=jnp.float32)
     return _psum(down, axis).astype(x.dtype)
 
 
@@ -105,10 +141,13 @@ def _logits(x, params, cfg: ModelConfig, axis: Optional[str],
         w = params["embed"].T  # [D, V] (or local [D, V/n])
     else:
         w = params["lm_head"]
-    logits = jnp.dot(
-        x.astype(jnp.float32), w.astype(jnp.float32),
-        preferred_element_type=jnp.float32,
-    )
+    if isinstance(w, dict):
+        logits = qdot(x, w, preferred_element_type=jnp.float32)
+    else:
+        logits = jnp.dot(
+            x.astype(jnp.float32), w.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        )
     if cfg.logit_softcap:
         logits = cfg.logit_softcap * jnp.tanh(logits / cfg.logit_softcap)
     return logits
@@ -149,9 +188,7 @@ def forward_prefill(
     for layer_idx in range(cfg.n_layers):
         blk = jax.tree.map(lambda a: a[layer_idx], params["blocks"])
         h = rms_norm(x, blk["ln1"], cfg.rms_eps)
-        q = jnp.dot(h, blk["wq"], preferred_element_type=jnp.bfloat16)
-        k = jnp.dot(h, blk["wk"], preferred_element_type=jnp.bfloat16)
-        v = jnp.dot(h, blk["wv"], preferred_element_type=jnp.bfloat16)
+        q, k, v = _qkv_proj(h, blk, cfg)
         n_heads_local = q.shape[-1] // cfg.head_dim
         n_kv_local = k.shape[-1] // cfg.head_dim
         q = q.reshape(B, S, n_heads_local, cfg.head_dim)
@@ -174,7 +211,7 @@ def forward_prefill(
         attn = attn.transpose(0, 2, 1, 3).reshape(
             B, S, n_heads_local * cfg.head_dim
         )
-        out = jnp.dot(attn, blk["wo"], preferred_element_type=jnp.float32)
+        out = qdot(attn, blk["wo"], preferred_element_type=jnp.float32)
         x = x + _psum(out, axis).astype(x.dtype)
         h2 = rms_norm(x, blk["ln2"], cfg.rms_eps)
         x = x + _mlp(h2, blk, axis)
@@ -225,9 +262,7 @@ def forward_prefill_chunk(
     for layer_idx in range(cfg.n_layers):
         blk = jax.tree.map(lambda a: a[layer_idx], params["blocks"])
         h = rms_norm(x, blk["ln1"], cfg.rms_eps)
-        q = jnp.dot(h, blk["wq"], preferred_element_type=jnp.bfloat16)
-        k = jnp.dot(h, blk["wk"], preferred_element_type=jnp.bfloat16)
-        v = jnp.dot(h, blk["wv"], preferred_element_type=jnp.bfloat16)
+        q, k, v = _qkv_proj(h, blk, cfg)
         n_heads_local = q.shape[-1] // cfg.head_dim
         n_kv_local = k.shape[-1] // cfg.head_dim
         q = q.reshape(B, C, n_heads_local, cfg.head_dim)
@@ -246,7 +281,7 @@ def forward_prefill_chunk(
             chunk_starts, chunk_end, interpret=interpret,
         )
         attn = attn.reshape(B, C, n_heads_local * cfg.head_dim)
-        out = jnp.dot(attn, blk["wo"], preferred_element_type=jnp.float32)
+        out = qdot(attn, blk["wo"], preferred_element_type=jnp.float32)
         x = x + _psum(out, axis).astype(x.dtype)
         h2 = rms_norm(x, blk["ln2"], cfg.rms_eps)
         x = x + _mlp(h2, blk, axis)
@@ -298,9 +333,7 @@ def forward_decode(
     for layer_idx in range(cfg.n_layers):
         blk = jax.tree.map(lambda a: a[layer_idx], params["blocks"])
         h = rms_norm(x, blk["ln1"], cfg.rms_eps)
-        q = jnp.dot(h, blk["wq"], preferred_element_type=jnp.bfloat16)
-        k = jnp.dot(h, blk["wk"], preferred_element_type=jnp.bfloat16)
-        v = jnp.dot(h, blk["wv"], preferred_element_type=jnp.bfloat16)
+        q, k, v = _qkv_proj(h, blk, cfg)
         n_heads_local = q.shape[-1] // cfg.head_dim
         n_kv_local = k.shape[-1] // cfg.head_dim
         q = q.reshape(B, n_heads_local, cfg.head_dim)
@@ -314,7 +347,7 @@ def forward_decode(
             block_tables, seq_lens, interpret=interpret,
         )  # [B, Hl, HD]
         attn = attn.reshape(B, n_heads_local * cfg.head_dim)
-        out = jnp.dot(attn, blk["wo"], preferred_element_type=jnp.float32)
+        out = qdot(attn, blk["wo"], preferred_element_type=jnp.float32)
         x = x + _psum(out, axis).astype(x.dtype)
         h2 = rms_norm(x, blk["ln2"], cfg.rms_eps)
         x = x + _mlp(h2, blk, axis)
@@ -360,9 +393,7 @@ def forward_train(
 
     def layer(x, blk):
         h = rms_norm(x, blk["ln1"], cfg.rms_eps)
-        q = jnp.dot(h, blk["wq"], preferred_element_type=act_dtype)
-        k = jnp.dot(h, blk["wk"], preferred_element_type=act_dtype)
-        v = jnp.dot(h, blk["wv"], preferred_element_type=act_dtype)
+        q, k, v = _qkv_proj(h, blk, cfg, dtype=act_dtype)
         n_heads_local = q.shape[-1] // cfg.head_dim
         n_kv_local = k.shape[-1] // cfg.head_dim
         q = apply_rope(
@@ -392,7 +423,7 @@ def forward_train(
         attn = attn.transpose(0, 2, 1, 3).reshape(
             B, S, n_heads_local * cfg.head_dim
         )
-        out = jnp.dot(attn, blk["wo"], preferred_element_type=jnp.float32)
+        out = qdot(attn, blk["wo"], preferred_element_type=jnp.float32)
         x = x + _psum(out, axis).astype(x.dtype)
         h2 = rms_norm(x, blk["ln2"], cfg.rms_eps)
         x = x + _mlp(h2, blk, axis, compute_dtype=act_dtype)
@@ -404,10 +435,13 @@ def forward_train(
         w = params["embed"].T
     else:
         w = params["lm_head"]
-    logits = jnp.dot(
-        x.astype(jnp.float32), w.astype(jnp.float32),
-        preferred_element_type=jnp.float32,
-    )
+    if isinstance(w, dict):
+        logits = qdot(x, w, preferred_element_type=jnp.float32)
+    else:
+        logits = jnp.dot(
+            x.astype(jnp.float32), w.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        )
     if axis and vocab_sharded:
         # training keeps full-vocab logits for the softmax-CE loss
         logits = jax.lax.all_gather(logits, axis, axis=-1, tiled=True)

@@ -86,7 +86,7 @@ class ShardPlan:
 
     # -- PartitionSpecs ------------------------------------------------
 
-    def param_specs(self, cfg: ModelConfig) -> dict:
+    def param_specs(self, cfg: ModelConfig, quantized: bool = False) -> dict:
         kv = P(None, None, MODEL_AXIS) if self.kv_sharded else P(None, None, None)
         specs = {
             # vocab sharding splits the embedding's vocab rows (Megatron
@@ -111,6 +111,23 @@ class ShardPlan:
         if not cfg.tie_embeddings:
             specs["lm_head"] = (P(None, MODEL_AXIS) if self.vocab_sharded
                                 else P(None, None))
+        if quantized:
+            # int8 weights (engine/quant.py) shard exactly like their bf16
+            # originals; the per-OUT-channel scale drops the IN axis
+            # (second-to-last), so it inherits the spec minus that entry —
+            # replicated for row-parallel (input-sharded) layers, which is
+            # what lets the scale multiply commute with the psum.
+            from deepvision_tpu.engine.quant import QUANT_LEAVES
+
+            def qspec(base: P) -> dict:
+                return {"q8": base, "scale": P(*base[:-2], base[-1])}
+
+            specs["blocks"] = {
+                name: (qspec(s) if name in QUANT_LEAVES else s)
+                for name, s in specs["blocks"].items()
+            }
+            if "lm_head" in specs:
+                specs["lm_head"] = qspec(specs["lm_head"])
         return specs
 
     def dfa_spec(self) -> P:
@@ -141,5 +158,9 @@ def named_shardings(mesh: Mesh, specs):
 
 def shard_params(params, mesh: Mesh, plan: ShardPlan, cfg: ModelConfig):
     """Place a (host or single-device) param pytree onto the mesh."""
-    shardings = named_shardings(mesh, plan.param_specs(cfg))
+    from deepvision_tpu.engine.quant import is_quantized
+
+    shardings = named_shardings(
+        mesh, plan.param_specs(cfg, quantized=is_quantized(params))
+    )
     return jax.tree.map(jax.device_put, params, shardings)

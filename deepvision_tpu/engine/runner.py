@@ -124,8 +124,10 @@ class ModelRunner:
             return fn
         from jax.experimental.shard_map import shard_map
 
+        from deepvision_tpu.engine.quant import is_quantized
+
         plan, cfg = self.plan, self.cfg
-        param_specs = plan.param_specs(cfg)
+        param_specs = plan.param_specs(cfg, quantized=is_quantized(self.params))
         cache_specs = plan.cache_specs(cfg.n_layers)
 
         trailing = [P() for _ in range(cache_in_tree_spec)]

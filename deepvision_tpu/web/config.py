@@ -39,6 +39,14 @@ ENGINE_PIPELINE_DECODE = False
 ENGINE_MAX_CHAINED_DECODES = 4
 ENGINE_CHUNKED_PREFILL = True
 ENGINE_PREFILL_CHUNK_SIZE = 256
+# Weight-only int8 serving quantization ("int8" | "").  Halves decode's
+# HBM parameter stream (engine/quant.py); parity pinned by tests.
+ENGINE_QUANTIZE = ""
+# Fuse wq|wk|wv and w_gate|w_up into single serving matmuls
+# (engine/fuse.py); single-device only, ignored under TP.  Default OFF:
+# measured within noise on-chip (PERF_NOTES round-3 fusion A/B) and a
+# layout change recompiles every cached serving program.
+ENGINE_FUSE_PROJECTIONS = False
 
 # --- timeouts / token caps (reference web/config.py:55-109) ---------------
 API_TIMEOUT = 120

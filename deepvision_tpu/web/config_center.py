@@ -86,6 +86,12 @@ DESCRIPTORS: List[SettingDescriptor] = [
        requires_restart=True),
     _d("ENGINE_PREFILL_CHUNK_SIZE", "ai", "int", "预填充块大小",
        min_value=64, requires_restart=True),
+    _d("ENGINE_QUANTIZE", "ai", "str",
+       "推理权重量化（int8 仅权重量化，解码 HBM 流量减半；空=关闭）",
+       requires_restart=True),
+    _d("ENGINE_FUSE_PROJECTIONS", "ai", "bool",
+       "融合投影矩阵（qkv/gate-up 单次矩阵乘，降低解码算子开销）",
+       requires_restart=True),
     # --- strategy / timeouts ------------------------------------------------
     _d("API_TIMEOUT", "strategy", "int", "默认 AI 调用超时（秒）",
        min_value=1, max_value=3600),

@@ -271,6 +271,9 @@ class AppState:
                         "ENGINE_CHUNKED_PREFILL", True),
                     prefill_chunk_size=cfg.get_int(
                         "ENGINE_PREFILL_CHUNK_SIZE", 256),
+                    quantize=cfg.get_str("ENGINE_QUANTIZE", ""),
+                    fuse_projections=cfg.get_bool(
+                        "ENGINE_FUSE_PROJECTIONS", False),
                     warmup=cfg.get_bool(
                         "ENGINE_WARMUP",
                         os.environ.get("DEEPVISION_TPU_TESTING") != "1"),
