@@ -204,6 +204,191 @@ def paged_attention(
 # Fused write + attention (the decode hot path)
 # ---------------------------------------------------------------------------
 
+def _fused_kernel_b(
+    bt_ref,      # [B, MP] scalar-prefetch block tables
+    lens_ref,    # [B] lengths incl. current token
+    pages_ref,   # [B] page id holding the current token
+    offs_ref,    # [B] row offset within that page
+    q_ref,       # [1, KV, Gp, HD] VMEM — ALL kv heads' queries for this b
+    nk_ref,      # [1, KV, 1, HD] VMEM — this step's k rows
+    nv_ref,      # [1, KV, 1, HD] VMEM
+    kp_ref,      # [KV, N, P, HD] HBM (aliased to kp_out)
+    vp_ref,      # [KV, N, P, HD] HBM (aliased to vp_out)
+    o_ref,       # [1, KV, Gp, HD] VMEM
+    kp_out,      # HBM alias of kp_ref
+    vp_out,      # HBM alias of vp_ref
+    k_buf, v_buf, sems, wbuf_k, wbuf_v, wsems,
+    *,
+    page_size: int,
+    scale: float,
+    n_kv: int,
+):
+    """Grid-over-batch variant of the fused decode kernel.
+
+    The original grid=(B, KV) launches B*KV programs per layer — 1,024
+    per token-step for dv-1b at B=8 — and TPU grid programs execute
+    SEQUENTIALLY, so per-program setup and un-overlapped 16 KB DMA
+    chains cost ~5 ms/step while the kernel's actual HBM traffic floors
+    at ~0.5 ms (PERF_NOTES round-3 decode-anatomy ablation).  This
+    variant keeps ONE program per sequence and runs a flattened
+    ``kv x page`` loop inside it, double-buffering page DMAs across kv
+    boundaries — 8x fewer program boundaries and a continuously busy
+    copy engine.
+    """
+    b = pl.program_id(0)
+    n = lens_ref[b]
+    my_page = pages_ref[b]
+    my_off = offs_ref[b]
+    num_pages = pl.cdiv(n, page_size)
+
+    # --- 1) RMW the current token's page for every kv head -------------
+    # All loads issued before any wait, ONE vectorized [KV, P, HD] patch,
+    # all stores issued before any wait: the phase pays ~2 DMA latencies
+    # instead of 4*KV serial ones (each 16 KB copy's latency dwarfs its
+    # 20 ns of streaming time — the round-3 decode anatomy in PERF_NOTES).
+
+    def rmw_load(kv, carry):
+        pltpu.make_async_copy(
+            kp_ref.at[kv, my_page], wbuf_k.at[kv], wsems.at[0, kv]
+        ).start()
+        pltpu.make_async_copy(
+            vp_ref.at[kv, my_page], wbuf_v.at[kv], wsems.at[1, kv]
+        ).start()
+        return carry
+
+    jax.lax.fori_loop(0, n_kv, rmw_load, 0)
+
+    def rmw_wait_load(kv, carry):
+        pltpu.make_async_copy(
+            kp_ref.at[kv, my_page], wbuf_k.at[kv], wsems.at[0, kv]
+        ).wait()
+        pltpu.make_async_copy(
+            vp_ref.at[kv, my_page], wbuf_v.at[kv], wsems.at[1, kv]
+        ).wait()
+        return carry
+
+    jax.lax.fori_loop(0, n_kv, rmw_wait_load, 0)
+
+    hd_ = nk_ref.shape[-1]
+    rows3 = jax.lax.broadcasted_iota(
+        jnp.int32, (n_kv, page_size, hd_), dimension=1
+    )
+    wbuf_k[:, :, :] = jnp.where(
+        rows3 == my_off, nk_ref[0, :, 0][:, None, :], wbuf_k[:, :, :]
+    )
+    wbuf_v[:, :, :] = jnp.where(
+        rows3 == my_off, nv_ref[0, :, 0][:, None, :], wbuf_v[:, :, :]
+    )
+
+    def rmw_store(kv, carry):
+        pltpu.make_async_copy(
+            wbuf_k.at[kv], kp_out.at[kv, my_page], wsems.at[0, kv]
+        ).start()
+        pltpu.make_async_copy(
+            wbuf_v.at[kv], vp_out.at[kv, my_page], wsems.at[1, kv]
+        ).start()
+        return carry
+
+    jax.lax.fori_loop(0, n_kv, rmw_store, 0)
+
+    def rmw_wait_store(kv, carry):
+        pltpu.make_async_copy(
+            wbuf_k.at[kv], kp_out.at[kv, my_page], wsems.at[0, kv]
+        ).wait()
+        pltpu.make_async_copy(
+            wbuf_v.at[kv], vp_out.at[kv, my_page], wsems.at[1, kv]
+        ).wait()
+        return carry
+
+    jax.lax.fori_loop(0, n_kv, rmw_wait_store, 0)
+
+    # --- 2) attention: flattened kv x page loop, DEPTH-deep pipelined ---
+    # Per-page compute (~1-2 us) is shorter than a 16 KB DMA's latency,
+    # so 2-deep buffering still stalls every iteration; DEPTH slots keep
+    # DEPTH-1 copies in flight and amortize the latency away.
+    total = n_kv * num_pages
+    depth = k_buf.shape[0]
+
+    def k_copy(slot, t):
+        kv = t // num_pages
+        p = jax.lax.rem(t, num_pages)
+        return pltpu.make_async_copy(
+            kp_out.at[kv, bt_ref[b, p]], k_buf.at[slot], sems.at[0, slot]
+        )
+
+    def v_copy(slot, t):
+        kv = t // num_pages
+        p = jax.lax.rem(t, num_pages)
+        return pltpu.make_async_copy(
+            vp_out.at[kv, bt_ref[b, p]], v_buf.at[slot], sems.at[1, slot]
+        )
+
+    def warmup(t, carry):
+        @pl.when(t < total)
+        def _():
+            k_copy(jax.lax.rem(t, depth), t).start()
+            v_copy(jax.lax.rem(t, depth), t).start()
+        return carry
+
+    jax.lax.fori_loop(0, depth, warmup, 0)
+
+    gp = q_ref.shape[2]
+    hd = q_ref.shape[3]
+    pos_in_page = jax.lax.broadcasted_iota(
+        jnp.int32, (gp, page_size), dimension=1
+    )
+    m0 = jnp.full((gp, 1), _NEG_INF, dtype=jnp.float32)
+    l0 = jnp.zeros((gp, 1), dtype=jnp.float32)
+    acc0 = jnp.zeros((gp, hd), dtype=jnp.float32)
+
+    def body(t, carry):
+        m_prev, l_prev, acc_prev = carry
+        kv = t // num_pages
+        p = jax.lax.rem(t, num_pages)
+        slot = jax.lax.rem(t, depth)
+
+        # fresh accumulators at each kv head's first page
+        m_prev = jnp.where(p == 0, m0, m_prev)
+        l_prev = jnp.where(p == 0, l0, l_prev)
+        acc_prev = jnp.where(p == 0, acc0, acc_prev)
+
+        k_copy(slot, t).wait()
+        v_copy(slot, t).wait()
+        k = k_buf[slot].astype(jnp.float32)
+        v = v_buf[slot].astype(jnp.float32)
+
+        q = q_ref[0, kv].astype(jnp.float32) * scale  # [Gp, HD]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        s = jnp.where(p * page_size + pos_in_page < n, s, _NEG_INF)
+        m_cur = jnp.max(s, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        pij = jnp.exp(s - m_new)
+        alpha = jnp.exp(m_prev - m_new)
+        l_new = l_prev * alpha + jnp.sum(pij, axis=-1, keepdims=True)
+        acc_new = acc_prev * alpha + jax.lax.dot_general(
+            pij, v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+        # refill this slot (its last read was the dots above)
+        @pl.when(t + depth < total)
+        def _():
+            k_copy(slot, t + depth).start()
+            v_copy(slot, t + depth).start()
+
+        @pl.when(p == num_pages - 1)
+        def _():
+            l_safe = jnp.where(l_new == 0.0, 1.0, l_new)
+            o_ref[0, kv] = (acc_new / l_safe).astype(o_ref.dtype)
+
+        return m_new, l_new, acc_new
+
+    jax.lax.fori_loop(0, total, body, (m0, l0, acc0))
+
+
 def _fused_kernel(
     bt_ref,      # [B, MP] scalar-prefetch block tables
     lens_ref,    # [B] lengths incl. current token
@@ -332,6 +517,7 @@ def paged_attention_update(
     seq_lens: jax.Array,   # incl. current token
     *,
     interpret: bool | None = None,
+    grid_mode: str = "b",
 ):
     """Fused in-place KV write + paged attention for one layer.
 
@@ -339,6 +525,11 @@ def paged_attention_update(
     the SAME buffers (``input_output_aliases``) — zero cache copies per
     step, vs. one full-pool copy for the XLA-scatter + separate-kernel
     route.
+
+    ``grid_mode="b"`` (default, measured 1.6x faster per decode step —
+    PERF_NOTES round-3 decode anatomy): one program per sequence with a
+    flattened kv x page DMA loop.  ``"bkv"`` keeps the original
+    one-program-per-(sequence, kv-head) grid for comparison.
     """
     if interpret is None:
         interpret = _default_interpret()
@@ -370,33 +561,63 @@ def paged_attention_update(
     nk4 = new_k.reshape(B, KV, 1, HD)
     nv4 = new_v.reshape(B, KV, 1, HD)
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
-        grid=(B, KV),
-        in_specs=[
-            pl.BlockSpec((1, 1, gp, HD), lambda b, kv, *_: (b, kv, 0, 0)),
-            pl.BlockSpec((1, 1, 1, HD), lambda b, kv, *_: (b, kv, 0, 0)),
-            pl.BlockSpec((1, 1, 1, HD), lambda b, kv, *_: (b, kv, 0, 0)),
-            pl.BlockSpec(memory_space=pltpu.HBM),
-            pl.BlockSpec(memory_space=pltpu.HBM),
-        ],
-        out_specs=(
-            pl.BlockSpec((1, 1, gp, HD), lambda b, kv, *_: (b, kv, 0, 0)),
-            pl.BlockSpec(memory_space=pltpu.HBM),
-            pl.BlockSpec(memory_space=pltpu.HBM),
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((2, P, HD), k_pages.dtype),
-            pltpu.VMEM((2, P, HD), v_pages.dtype),
-            pltpu.SemaphoreType.DMA((2, 2)),
-            pltpu.VMEM((P, HD), k_pages.dtype),
-            pltpu.VMEM((P, HD), v_pages.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
-    )
-    kernel = functools.partial(
-        _fused_kernel, page_size=P, scale=HD ** -0.5
-    )
+    if grid_mode == "b":
+        depth = 8  # DMA pipeline depth; VMEM cost 2*depth*P*HD*itemsize
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=4,
+            grid=(B,),
+            in_specs=[
+                pl.BlockSpec((1, KV, gp, HD), lambda b, *_: (b, 0, 0, 0)),
+                pl.BlockSpec((1, KV, 1, HD), lambda b, *_: (b, 0, 0, 0)),
+                pl.BlockSpec((1, KV, 1, HD), lambda b, *_: (b, 0, 0, 0)),
+                pl.BlockSpec(memory_space=pltpu.HBM),
+                pl.BlockSpec(memory_space=pltpu.HBM),
+            ],
+            out_specs=(
+                pl.BlockSpec((1, KV, gp, HD), lambda b, *_: (b, 0, 0, 0)),
+                pl.BlockSpec(memory_space=pltpu.HBM),
+                pl.BlockSpec(memory_space=pltpu.HBM),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((depth, P, HD), k_pages.dtype),
+                pltpu.VMEM((depth, P, HD), v_pages.dtype),
+                pltpu.SemaphoreType.DMA((2, depth)),
+                pltpu.VMEM((KV, P, HD), k_pages.dtype),
+                pltpu.VMEM((KV, P, HD), v_pages.dtype),
+                pltpu.SemaphoreType.DMA((2, KV)),
+            ],
+        )
+        kernel = functools.partial(
+            _fused_kernel_b, page_size=P, scale=HD ** -0.5, n_kv=KV
+        )
+    else:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=4,
+            grid=(B, KV),
+            in_specs=[
+                pl.BlockSpec((1, 1, gp, HD), lambda b, kv, *_: (b, kv, 0, 0)),
+                pl.BlockSpec((1, 1, 1, HD), lambda b, kv, *_: (b, kv, 0, 0)),
+                pl.BlockSpec((1, 1, 1, HD), lambda b, kv, *_: (b, kv, 0, 0)),
+                pl.BlockSpec(memory_space=pltpu.HBM),
+                pl.BlockSpec(memory_space=pltpu.HBM),
+            ],
+            out_specs=(
+                pl.BlockSpec((1, 1, gp, HD), lambda b, kv, *_: (b, kv, 0, 0)),
+                pl.BlockSpec(memory_space=pltpu.HBM),
+                pl.BlockSpec(memory_space=pltpu.HBM),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((2, P, HD), k_pages.dtype),
+                pltpu.VMEM((2, P, HD), v_pages.dtype),
+                pltpu.SemaphoreType.DMA((2, 2)),
+                pltpu.VMEM((P, HD), k_pages.dtype),
+                pltpu.VMEM((P, HD), v_pages.dtype),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        )
+        kernel = functools.partial(
+            _fused_kernel, page_size=P, scale=HD ** -0.5
+        )
     out, kp2, vp2 = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,

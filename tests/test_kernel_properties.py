@@ -316,3 +316,35 @@ def test_sampling_per_row_controls_are_independent():
         jnp.asarray([0, 0], jnp.int32),
         jnp.asarray([1.0, 1.0], jnp.float32))
     assert int(np.asarray(toks)[0]) == int(np.asarray(jnp.argmax(logits[0])))
+
+
+def test_paged_update_grid_modes_agree():
+    """grid=(B,) (flattened kv x page loop, PERF_NOTES round-3 decode
+    anatomy) and the original grid=(B, KV) must be the same function:
+    identical outputs AND identical pool writes, including ragged lens
+    and GQA groups."""
+    from deepvision_tpu.engine.kv_cache import write_decode_token
+
+    q, k_pages, v_pages, bt, lens = _paged_setup(80, B=2, KV=2, H=8)
+    B, KV, HD = q.shape[0], k_pages.shape[0], q.shape[2]
+    new_k = _rand(81, (B, KV, HD))
+    new_v = _rand(82, (B, KV, HD))
+
+    out_b, kb, vb = paged_attention_update(
+        q, new_k, new_v, k_pages, v_pages, bt, lens, interpret=True,
+        grid_mode="b")
+    out_g, kg, vg = paged_attention_update(
+        q, new_k, new_v, k_pages, v_pages, bt, lens, interpret=True,
+        grid_mode="bkv")
+    np.testing.assert_allclose(np.asarray(out_b), np.asarray(out_g),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(kb), np.asarray(kg),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(vb), np.asarray(vg),
+                               rtol=1e-6, atol=1e-6)
+    # and both equal the unfused two-step route
+    k2, v2 = write_decode_token(
+        k_pages, v_pages, new_k, new_v, bt, lens - 1)
+    out_s = paged_attention(q, k2, v2, bt, lens, interpret=True)
+    np.testing.assert_allclose(np.asarray(out_b), np.asarray(out_s),
+                               rtol=RTOL, atol=ATOL)
