@@ -22,6 +22,16 @@ Safety invariants:
 ``prefix_key`` still gates *participation* (``None`` bypasses the cache —
 the deterministic-replay escape hatch) but no longer namespaces entries:
 matching is purely by token content.
+
+Round-4 fix: children are keyed by the edge's FIRST FULL PAGE of tokens,
+not its first token.  Keying by first token meant two chains sharing a
+first token but diverging mid-page could never coexist — ``store`` hit
+"divergence inside the first page" and inserted nothing, so a corpus of
+prompts that all open with the same preamble (every interview prompt
+does) collapsed the tree to ONE chain and the cache went dead in
+production (BENCH_r03: 1 hit / 127 misses).  Page-granularity branching
+is also the honest structure: chains that diverge inside a page can
+never share pages anyway, so they are siblings by construction.
 """
 
 from __future__ import annotations
@@ -48,9 +58,14 @@ class _Node:
                  parent: Optional["_Node"]):
         self.tokens = tokens          # edge label; multiple of page_size
         self.pages = pages            # len == len(tokens) // page_size
-        self.children: dict = {}      # first token of child edge -> _Node
+        # first full PAGE of child edge (tuple of page_size tokens) -> _Node;
+        # page-keyed so chains diverging mid-page coexist as siblings
+        self.children: dict = {}
         self.parent = parent
         self.last_used = time.monotonic()
+
+    def key(self, page_size: int) -> tuple:
+        return self.tokens[:page_size]
 
 
 class PrefixCache:
@@ -94,7 +109,9 @@ class PrefixCache:
             shared: List[int] = []
             now = time.monotonic()
             while matched < limit:
-                child = node.children.get(prompt_tokens[matched])
+                child = node.children.get(
+                    tuple(prompt_tokens[matched:matched + ps])
+                )
                 if child is None:
                     break
                 m = _common_prefix_len(
@@ -139,33 +156,35 @@ class PrefixCache:
             i = 0
             now = time.monotonic()
             while i < len(tokens):
-                child = node.children.get(tokens[i])
+                child = node.children.get(tuple(tokens[i:i + ps]))
                 if child is None:
+                    # no edge shares this next page (including chains that
+                    # diverge mid-page): insert the remainder as a sibling
                     new_pages = pages[i // ps:]
                     self.alloc.share(new_pages)
                     leaf = _Node(tokens[i:], new_pages, node)
-                    node.children[tokens[i]] = leaf
+                    node.children[leaf.key(ps)] = leaf
                     self._cached_pages += len(new_pages)
                     self._nodes += 1
                     break
                 m = _common_prefix_len(child.tokens, tokens[i:])
                 full = (m // ps) * ps
-                if full == 0:
-                    break  # divergence inside the first page: nothing to add
                 child.last_used = now
                 if full == len(child.tokens):
                     i += full
                     node = child
                     continue
-                # split the edge at the page boundary `full`
+                # shared head ends inside this edge: split at the page
+                # boundary `full` (>= ps because the child was found by its
+                # first-page key)
                 upper = _Node(child.tokens[:full],
                               child.pages[: full // ps], node)
                 upper.last_used = now
                 child.tokens = child.tokens[full:]
                 child.pages = child.pages[full // ps:]
                 child.parent = upper
-                upper.children[child.tokens[0]] = child
-                node.children[upper.tokens[0]] = upper
+                upper.children[child.key(ps)] = child
+                node.children[upper.key(ps)] = upper
                 self._nodes += 1
                 i += full
                 node = upper
@@ -195,7 +214,7 @@ class PrefixCache:
         self._nodes -= 1
         parent = leaf.parent
         if parent is not None:
-            parent.children.pop(leaf.tokens[0], None)
+            parent.children.pop(leaf.key(self.page_size), None)
         return released
 
     def _evict_lru_locked(self, n_pages: int) -> int:

@@ -141,6 +141,31 @@ def test_radix_page_cap_evicts_lru():
     assert alloc.available() == 63
 
 
+def test_mid_page_divergence_chains_coexist():
+    """Round-4 regression (BENCH_r03 hits 1/127): every interview prompt
+    opens with the same preamble token but diverges mid-first-page (the
+    topic differs per session).  First-token-keyed branching could store
+    only ONE such chain; page-keyed branching stores them all, and each
+    session's identical re-submission hits."""
+    alloc = PageAllocator(num_pages=128)
+    cache = PrefixCache(alloc, page_size=4)
+    chains = []
+    for i in range(8):
+        # shared first token 1, divergence at position 1 (inside page 0)
+        chain = [1, 100 + i, 2, 3, 4, 5, 6, 7, 8]
+        pages = alloc.alloc(2)
+        cache.store(f"sess-{i}", chain, pages)
+        chains.append((chain, pages))
+    assert cache.stats()["entries"] == 8          # all siblings stored
+    for i, (chain, _) in enumerate(chains):
+        n, shared = cache.lookup(f"sess-{i}", chain)
+        assert n == 8, (i, n)                     # both full pages hit
+        alloc.free(shared)
+    assert cache.stats()["hits"] == 8
+    for _, pages in chains:
+        alloc.free(pages)
+
+
 def test_prefix_key_none_bypasses():
     alloc = PageAllocator(num_pages=16)
     cache = PrefixCache(alloc, page_size=2)
