@@ -119,21 +119,33 @@ def build_interview_prompt(
     aspects = "、".join(dimension.get("key_aspects", []))
     contract = capture_contract or {}
 
+    # Stable-first section order: [preamble, topic, desc, docs, dimension,
+    # search, history, ...ask].  Everything that is constant for the life
+    # of a session (and across a dimension's rounds) comes FIRST so
+    # consecutive next-question prompts share a long page-aligned head and
+    # the engine's radix prefix cache skips its KV recompute (round-3
+    # measured the old history-before-docs order capping reuse at ~1 page;
+    # reference prompt cache web/server.py:4920-5012 cached per-session
+    # prompt TEXT — here the cached artifact is device KV, so section
+    # stability directly buys prefill time).  Retraining note: the
+    # from-scratch checkpoints are distribution-locked to this order; the
+    # corpus builder renders through THIS function, so any reorder must
+    # ship with a checkpoint retrain (round-4 did).
     parts = [
         "你是一名资深需求访谈顾问，正在进行结构化访谈。",
         f"访谈主题：{topic}",
     ]
     if desc and not fast_tier:
         parts.append(f"主题说明：{desc}")
+    if docs:
+        parts.append(docs)
     parts.append(
         f"当前维度：{dimension.get('name')}（关注要点：{aspects}）"
     )
-    if history:
-        parts.append(f"历史问答：\n{history}")
-    if docs:
-        parts.append(docs)
     if search_context:
         parts.append(f"【联网检索结果】\n{search_context}")
+    if history:
+        parts.append(f"历史问答：\n{history}")
     if is_follow_up:
         parts.append(f"请针对上一个回答进行追问。追问背景：{follow_up_context}")
     if focus_aspect:

@@ -484,59 +484,61 @@ def _answer_text(rng):
 
 
 def gen_question_example(rng, scenarios):
-    """Mirror build_interview_prompt (web/runtime/interview.py:103-165):
-    every optional section the server can emit appears in training data."""
+    """Question examples render through the RUNTIME builder itself
+    (web/runtime/interview.py build_interview_prompt) — a synthetic
+    session/dimension is sampled here and the prompt string is whatever
+    the server would emit, so section ORDER can never drift between
+    training and serving (round-4: the stable-first reorder shipped by
+    changing the builder once).  Every optional section the server can
+    emit is sampled with its observed rates."""
+    from deepvision_tpu.web.runtime.interview import build_interview_prompt
+
     sc = rng.choice(scenarios)
     dim = rng.choice(sc["dimensions"])
     topic = rng.choice(TOPICS)
     is_follow_up = rng.random() < 0.3
-    aspects = "、".join(dim.get("key_aspects", []))
-    parts = [
-        "你是一名资深需求访谈顾问，正在进行结构化访谈。",
-        f"访谈主题：{topic}",
-    ]
-    if rng.random() < 0.35:
-        parts.append(f"主题说明：{_fill(rng, rng.choice(TOPIC_DESCS))}")
-    parts.append(f"当前维度：{dim.get('name')}（关注要点：{aspects}）")
+    session = {
+        "topic": topic,
+        "description": (_fill(rng, rng.choice(TOPIC_DESCS))
+                        if rng.random() < 0.35 else ""),
+        "summary": "",
+        "interview_log": [],
+        "reference_materials": [],
+    }
     n_hist = rng.randint(0, 4)
-    if n_hist:
-        hist = []
-        if rng.random() < 0.25:
-            hist.append(f"【历史摘要】要点：{_short(rng.choice(PAIN_POINTS), 20)}；"
-                        f"目标是{_short(rng.choice(GOALS), 20)}。")
-        for _ in range(n_hist):
-            hq = _question_json(rng, dim)["question"]
-            hist.append(f"问：{hq}\n答：{_answer_text(rng)}")
-        parts.append("历史问答：\n" + "\n".join(hist))
+    if n_hist and rng.random() < 0.25:
+        session["summary"] = (
+            f"要点：{_short(rng.choice(PAIN_POINTS), 20)}；"
+            f"目标是{_short(rng.choice(GOALS), 20)}。")
+    for _ in range(n_hist):
+        session["interview_log"].append({
+            "question": _question_json(rng, dim)["question"],
+            "answer": _answer_text(rng),
+        })
     if rng.random() < 0.25:
-        docs = []
-        for _ in range(rng.randint(1, 2)):
-            docs.append(f"【参考文档：{rng.choice(DOC_NAMES)}】\n"
-                        + _fill(rng, rng.choice(DOC_SUMMARIES)))
-        parts.append("\n\n".join(docs))
-    if rng.random() < 0.15:
-        parts.append("【联网检索结果】\n" + _fill(rng, rng.choice(SEARCH_SNIPPETS)))
-    if is_follow_up:
-        parts.append(f"请针对上一个回答进行追问。追问背景：{_answer_text(rng)}")
+        session["reference_materials"] = [
+            {"name": rng.choice(DOC_NAMES),
+             "summary": _fill(rng, rng.choice(DOC_SUMMARIES))}
+            for _ in range(rng.randint(1, 2))
+        ]
+    search_context = (_fill(rng, rng.choice(SEARCH_SNIPPETS))
+                      if rng.random() < 0.15 else "")
+    focus_aspect = ""
     if rng.random() < 0.2:
-        aspect = rng.choice(dim.get("key_aspects") or ["核心需求"])
-        parts.append(f"本轮请优先覆盖尚未谈到的要点：{aspect}")
+        focus_aspect = rng.choice(dim.get("key_aspects") or ["核心需求"])
     target = _question_json(rng, dim, is_follow_up)
+    contract = None
     if rng.random() < 0.4:
-        parts.append(
-            f"采集要求：answer_mode={target['answer_mode']}, "
-            f"evidence_intent={target['evidence_intent']}"
-        )
-    parts.append(
-        "请生成下一个访谈问题，输出 JSON："
-        '{"question": "问题文本(≤240字)", "options": ["选项1", ...2-6项], '
-        '"multi_select": bool, "is_follow_up": %s, '
-        '"answer_mode": "pick_only|pick_with_reason", '
-        '"requires_rationale": bool, "evidence_intent": "low|medium|high", '
-        '"ai_recommendation": "推荐选项或null"}'
-        % ("true" if is_follow_up else "false")
+        contract = {"answer_mode": target["answer_mode"],
+                    "evidence_intent": target["evidence_intent"]}
+    prompt = build_interview_prompt(
+        session, dim,
+        is_follow_up=is_follow_up,
+        follow_up_context=_answer_text(rng) if is_follow_up else "",
+        search_context=search_context,
+        capture_contract=contract,
+        focus_aspect=focus_aspect,
     )
-    prompt = "\n\n".join(parts)
     return prompt + "\n" + json.dumps(target, ensure_ascii=False)
 
 

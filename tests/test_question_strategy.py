@@ -103,6 +103,14 @@ def test_prompt_full_tier_includes_all_sections():
         assert needle in p, needle
     # the JSON schema spec is the LAST section (strongest conditioning)
     assert p.rstrip().endswith('"ai_recommendation": "推荐选项或null"}')
+    # stable-first section order (round 4): session-constant sections
+    # [preamble, topic, desc, docs] precede the per-round ones
+    # [dimension, search, history, ask] so consecutive prompts share a
+    # long page-aligned head for the engine's radix prefix cache
+    order = ["访谈主题：", "主题说明：", "【参考文档：需求书】", "当前维度：",
+             "【联网检索结果】", "历史问答：", "请生成下一个访谈问题"]
+    positions = [p.index(n) for n in order]
+    assert positions == sorted(positions), list(zip(order, positions))
 
 
 def test_prompt_fast_tier_drops_docs_and_desc_and_clamps():
