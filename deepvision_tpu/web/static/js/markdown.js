@@ -65,6 +65,16 @@
         i++;
         while (i < lines.length && !/^\x60{3}/.test(lines[i])) { buf.push(lines[i]); i++; }
         i++;
+        if (lang === "mermaid" && window.DVMermaid) {
+          // render A.3 visualizations to real SVG (reference vendors
+          // mermaid.js, web/index.html:225); broken/unsupported source
+          // falls back to the styled code block
+          const svg = window.DVMermaid.render(buf.join("\n"));
+          if (svg) {
+            out.push(`<figure class="mermaid-svg">${svg}</figure>`);
+            continue;
+          }
+        }
         const cls = lang === "mermaid" ? ' class="mermaid"' : "";
         out.push(`<pre${cls}><code>${esc(buf.join("\n"))}</code></pre>`);
         continue;

@@ -671,6 +671,24 @@ def install(interp):
             _arg(a, 0)) ** js_num(_arg(a, 1)), "pow"),
         "sqrt": NativeFunction(lambda i, t, a: math.sqrt(
             js_num(_arg(a, 0))), "sqrt"),
+        # trig + constants (used by the mermaid SVG renderer's pie arcs)
+        "PI": math.pi,
+        "sin": NativeFunction(lambda i, t, a: math.sin(
+            js_num(_arg(a, 0))), "sin"),
+        "cos": NativeFunction(lambda i, t, a: math.cos(
+            js_num(_arg(a, 0))), "cos"),
+        "tan": NativeFunction(lambda i, t, a: math.tan(
+            js_num(_arg(a, 0))), "tan"),
+        "atan2": NativeFunction(lambda i, t, a: math.atan2(
+            js_num(_arg(a, 0)), js_num(_arg(a, 1))), "atan2"),
+        "sign": NativeFunction(lambda i, t, a: float(
+            (js_num(_arg(a, 0)) > 0) - (js_num(_arg(a, 0)) < 0)), "sign"),
+        "trunc": NativeFunction(lambda i, t, a: float(math.trunc(
+            js_num(_arg(a, 0)))), "trunc"),
+        "log": NativeFunction(lambda i, t, a: math.log(
+            js_num(_arg(a, 0))), "log"),
+        "exp": NativeFunction(lambda i, t, a: math.exp(
+            js_num(_arg(a, 0))), "exp"),
     })
     g.declare("Math", math_obj)
 

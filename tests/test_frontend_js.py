@@ -229,6 +229,68 @@ def test_report_view_renders_markdown_structures(client):
     assert "mermaid" in html or "需求清单" in html
 
 
+def test_report_view_renders_mermaid_svg(client):
+    """The A.3 visualizations become real SVG diagrams in the browser
+    (reference loads mermaid.js web/index.html:225 and initializes it in
+    report_detail_runtime.js:317; here js/mermaid.js renders from
+    scratch). The template report carries all four diagram types, so the
+    journey proves flowchart+pie+quadrant all rendered."""
+    page = page_for(client)
+    login(page)
+    create_session(page)
+    _run_report_flow(client, page)
+    html = page.q("#rd-body").inner_html()
+    assert 'class="mermaid-svg"' in html, html[:400]
+    assert html.count("<svg") >= 3          # quadrant + flow + pie (+arch)
+    assert "dvm-arrow" in html              # flowchart arrows present
+
+
+MERMAID_CASES = {
+    "flowchart_tb": ("flowchart TB\\n    U[用户端] --> G[接入网关]\\n"
+                     "    G --> S[业务服务]\\n    S --> D[(统一数据底座)]",
+                     ["<svg", "用户端", "dvm-arrow", "接入网关"]),
+    "flowchart_labels": ("flowchart LR\\n    A[提出] -->|评审通过| B[排期]"
+                         " --> C{开发} --> D((上线))",
+                         ["<svg", "评审通过", "polygon", "circle"]),
+    "pie": ('pie title 诉求分布\\n    \\"流程类\\" : 40\\n'
+            '    \\"数据类\\" : 35\\n    \\"体验类\\" : 25',
+            ["<svg", "诉求分布", "流程类 (40)", "%"]),
+    "quadrant": ("quadrantChart\\n    title 需求优先级\\n"
+                 "    x-axis 实施难度\\n    y-axis 业务价值\\n"
+                 "    核心诉求: [0.3, 0.8]",
+                 ["<svg", "需求优先级", "实施难度", "核心诉求"]),
+}
+
+
+@pytest.mark.parametrize("name", sorted(MERMAID_CASES))
+def test_mermaid_renderer_produces_svg(client, name):
+    src, needles = MERMAID_CASES[name]
+    page = page_for(client)
+    page.interp.run(f'window.__svg = DVMermaid.render("{src}")')
+    svg = str(page.interp.global_env.lookup("__svg"))
+    for needle in needles:
+        assert needle in svg, (name, needle, svg[:300])
+
+
+def test_mermaid_broken_falls_back_to_code_block(client):
+    page = page_for(client)
+    page.interp.run(
+        'window.__md3 = DVMarkdown.render("```mermaid\\nflowchart LR\\n'
+        '  [[[\\n```")')
+    html = str(page.interp.global_env.lookup("__md3"))
+    assert "<svg" not in html
+    assert '<pre class="mermaid">' in html
+
+
+def test_mermaid_unsupported_type_falls_back(client):
+    page = page_for(client)
+    page.interp.run(
+        'window.__md4 = DVMarkdown.render("```mermaid\\ngantt\\n'
+        '  section A\\n```")')
+    html = str(page.interp.global_env.lookup("__md4"))
+    assert "<svg" not in html and "gantt" in html
+
+
 def test_reports_tab_lists_generated_report(client):
     page = page_for(client)
     login(page)
