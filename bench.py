@@ -399,6 +399,23 @@ def main():
     tokens_r = (r_stats["tokens_generated"]
                 - (tokens_q if engine_r is engine_q else 0))
 
+    # TPU embed path (engine/embedding.py): the serving params double as
+    # the document encoder — semantic-retrieval datum for doc ingest
+    doc_embed = None
+    try:
+        chunk = ("现状为多套异构系统并存，补货决策依赖人工经验，期望统一"
+                 "数据口径并实现自动补货建议，同时兼容现有审批流程。")
+        chunks = [f"{chunk}（片段{i}）" for i in range(64)]
+        if engine_q.embed_texts(chunks[:4]) is not None:  # compile warmup
+            t0 = time.time()
+            out = engine_q.embed_texts(chunks)
+            doc_embed = {
+                "chunks_per_s": round(len(chunks) / (time.time() - t0), 1),
+                "dim": int(out.shape[1]),
+            }
+    except Exception:  # noqa: BLE001
+        doc_embed = None
+
     engine_q.shutdown()
     if engine_r is not engine_q:
         engine_r.shutdown()
@@ -448,6 +465,7 @@ def main():
             statistics.median(drafts) if drafts else 0),
         "report_decode_tokens_per_s": round(tokens_r / r_wall, 1),
         "doc_ingest_pages_per_s": round(pages_per_s, 1),
+        "doc_embed": doc_embed,
         "n_requests": len(ttfts),
         "errors": len(q_errors) + len(r_errors),
         "compile_s": round(compile_s, 1),

@@ -152,6 +152,24 @@ class ModelGateway:
         with self._lock:
             return {k: dict(v) for k, v in self._lane_stats.items()}
 
+    def embed_texts(self, texts):
+        """Semantic embeddings from the first engine replica that exposes
+        them (LLMEngine.embed_texts — the serving params double as the
+        encoder).  Returns an [N, d] array or None when no engine can
+        embed (template backend, quantized/fused params): callers fall
+        back to keyword-only retrieval."""
+        for engine in self.engines.values():
+            fn = getattr(engine, "embed_texts", None)
+            if fn is None:
+                continue
+            try:
+                out = fn(texts)
+            except Exception:  # noqa: BLE001 — retrieval must degrade
+                continue
+            if out is not None:
+                return out
+        return None
+
     # ------------------------------------------------------------------
 
     def call_model(

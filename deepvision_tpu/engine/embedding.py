@@ -78,14 +78,17 @@ class DocumentEmbedder:
 
     def __init__(self, cfg_or_name="dv-smoke", params=None,
                  tokenizer_spec: Optional[str] = "byte",
-                 batch_size: int = 16):
+                 batch_size: int = 16, tokenizer=None):
         self.cfg = (
             cfg_or_name if isinstance(cfg_or_name, ModelConfig)
             else get_model_config(cfg_or_name)
         )
         self.params = params if params is not None else init_params(
             self.cfg, seed=7)
-        self.tokenizer = get_tokenizer(tokenizer_spec)
+        # a live tokenizer instance (e.g. the serving engine's) wins over
+        # the spec string, so the embedder shares the engine's vocab
+        self.tokenizer = (tokenizer if tokenizer is not None
+                          else get_tokenizer(tokenizer_spec))
         self.batch_size = batch_size
         self._fns = {}
 

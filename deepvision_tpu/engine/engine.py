@@ -320,6 +320,27 @@ class LLMEngine:
 
     # ------------------------------------------------------------------
 
+    def embed_texts(self, texts):
+        """Batched doc embedding on the SERVING params (engine/embedding.py
+        encoder: transformer forward + mean-pool, no LM head) — any loaded
+        checkpoint doubles as the embedder, so semantic retrieval costs no
+        extra weights in HBM.  Unavailable (returns None) when the params
+        are int8-quantized or projection-fused: the encoder expects the
+        unfused bf16 layout."""
+        if getattr(self, "_embedder", None) is None:
+            from deepvision_tpu.engine.quant import is_quantized
+
+            blocks = self.runner.params.get("blocks") or {}
+            if is_quantized(self.runner.params) or "wq" not in blocks:
+                return None
+            from deepvision_tpu.engine.embedding import DocumentEmbedder
+
+            self._embedder = DocumentEmbedder(
+                self.model_cfg, params=self.runner.params,
+                tokenizer=self.tokenizer,
+            )
+        return self._embedder.embed_texts(texts)
+
     def stats(self) -> dict:
         s = self.scheduler
         out = {

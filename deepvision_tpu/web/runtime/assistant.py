@@ -20,7 +20,7 @@ MAX_CHAT_LOG = 20
 
 
 def build_chat_context(session: dict, user_message: str,
-                       max_history: int = 5) -> str:
+                       max_history: int = 5, embed_fn=None) -> str:
     parts = [f"访谈主题：{session.get('topic', '')}"]
     log = session.get("interview_log", [])
     if log:
@@ -37,7 +37,8 @@ def build_chat_context(session: dict, user_message: str,
     for doc in session.get("reference_materials", []):
         chunks.extend(doc.get("chunks") or [])
     if chunks:
-        relevant = select_chunks_for_query(chunks, user_message, top_k=2)
+        relevant = select_chunks_for_query(chunks, user_message, top_k=2,
+                                           embed_fn=embed_fn)
         if relevant:
             parts.append("相关文档片段：\n" + "\n---\n".join(relevant))
     return "\n\n".join(parts)
@@ -152,7 +153,9 @@ class AssistantChat:
             return {"reply": reply, "suggested_answer": None,
                     "intent": intent}
 
-        context = build_chat_context(session, user_message)
+        context = build_chat_context(
+            session, user_message,
+            embed_fn=getattr(self.gateway, "embed_texts", None))
         prompt = (
             "你是访谈助手，帮助受访者理解并回答当前问题。结合上下文给出"
             "简明建议（不超过200字）。\n\n" + context

@@ -254,18 +254,37 @@ def chunk_markdown(text: str, *, chunk_chars: int = 800,
 
 
 def select_chunks_for_query(chunks: List[str], query: str,
-                            top_k: int = 3) -> List[str]:
-    """Keyword chunk retrieval (reference
-    select_reference_material_context :31533)."""
+                            top_k: int = 3, embed_fn=None) -> List[str]:
+    """Hybrid chunk retrieval: keyword overlap (reference
+    select_reference_material_context :31533) blended with TPU semantic
+    cosine ranking when an embedder is available (``embed_fn`` — usually
+    ``ModelGateway.embed_texts``; the serving checkpoint doubles as the
+    encoder, engine/embedding.py).  Keyword scores catch exact entity
+    matches the encoder may miss; cosine catches paraphrases keyword
+    overlap misses.  Degrades to keyword-only when embedding is
+    unavailable (template backend, quantized params) or fails."""
     tokens = set(re.findall(r"[\w一-鿿]{2,}", query))
-    if not tokens:
-        return chunks[:top_k]
-    scored = []
-    for ch in chunks:
-        score = sum(1 for t in tokens if t in ch)
-        scored.append((score, ch))
-    scored.sort(key=lambda t: -t[0])
-    return [ch for score, ch in scored[:top_k] if score > 0] or chunks[:1]
+    kw = [sum(1 for t in tokens if t in ch) for ch in chunks] \
+        if tokens else [0] * len(chunks)
+    sem = None
+    if embed_fn is not None and chunks:
+        try:
+            embs = embed_fn(list(chunks) + [query])
+        except Exception:  # noqa: BLE001 — retrieval must degrade
+            embs = None
+        if embs is not None and len(embs) == len(chunks) + 1:
+            sem = list(embs[:-1] @ embs[-1])          # cosine (unit vecs)
+    if sem is None:
+        if not tokens:
+            return chunks[:top_k]
+        scored = sorted(zip(kw, chunks), key=lambda t: -t[0])
+        return ([ch for s, ch in scored[:top_k] if s > 0]
+                or chunks[:1])
+    kw_max = max(kw) or 1
+    blended = [0.5 * (k / kw_max) + 0.5 * float(s)
+               for k, s in zip(kw, sem)]
+    order = sorted(range(len(chunks)), key=lambda i: -blended[i])
+    return [chunks[i] for i in order[:top_k]]
 
 
 # ---------------------------------------------------------------------------
