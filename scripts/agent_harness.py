@@ -21,9 +21,10 @@ PROFILES = {
     "local": [
         ("doctor", [sys.executable, os.path.join(ROOT, "scripts",
                                                  "agent_doctor.py")]),
-        ("smoke", [sys.executable, "-m", "pytest",
-                   "tests/test_app_api.py", "tests/test_web_http.py",
-                   "-q", "--no-header"]),
+        # the curated `smoke` marker tier (<1 min; scripts/agent_smoke.py
+        # is the standalone entry with --list)
+        ("smoke", [sys.executable, "-m", "pytest", "tests/", "-m", "smoke",
+                   "-q", "--no-header", "-p", "no:cacheprovider"]),
     ],
     "auto": [
         ("doctor", [sys.executable, os.path.join(ROOT, "scripts",

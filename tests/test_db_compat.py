@@ -1,5 +1,6 @@
 """DB shim: qmark translation, DDL rewrite, SQLite behaviors."""
 
+import pytest
 import tempfile
 
 from deepvision_tpu.web.db import (
@@ -8,6 +9,9 @@ from deepvision_tpu.web.db import (
     connect_db,
     is_postgres_url,
 )
+
+# fast main-path tier: scripts/agent_smoke.py runs `pytest -m smoke`
+pytestmark = pytest.mark.smoke
 
 
 def test_qmark_translation_preserves_literals():

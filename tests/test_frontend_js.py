@@ -21,6 +21,9 @@ from deepvision_tpu.web.server import create_app
 from scripts.minijs.harness import BrowserPage
 from scripts.minijs.parser import parse
 
+# fast main-path tier: scripts/agent_smoke.py runs `pytest -m smoke`
+pytestmark = pytest.mark.smoke
+
 ADMIN_PHONE = "13800000001"
 JS_DIR = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "deepvision_tpu", "web", "static", "js")

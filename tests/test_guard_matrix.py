@@ -22,6 +22,9 @@ import pytest
 from deepvision_tpu.web.http import TestClient as HttpClient
 from deepvision_tpu.web.server import create_app
 
+# fast main-path tier: scripts/agent_smoke.py runs `pytest -m smoke`
+pytestmark = pytest.mark.smoke
+
 ADMIN_PHONE = "13800000001"
 OWNER_PHONE = "13900001001"
 OTHER_PHONE = "13900001002"

@@ -19,6 +19,9 @@ from deepvision_tpu.web.levels import (
 )
 from deepvision_tpu.web.server import create_app
 
+# fast main-path tier: scripts/agent_smoke.py runs `pytest -m smoke`
+pytestmark = pytest.mark.smoke
+
 ADMIN_PHONE = "13800000001"
 
 

@@ -924,3 +924,45 @@ def test_observe_health_cli_exit_codes(tmp_path):
                    "--data-dir", data_dir, "--history", "5")
     assert r.returncode == 0, r.stderr[-500:]
     assert "no snapshot history" in r.stdout
+
+
+# ---------------------------------------------------------------------------
+# Harness tooling (round 4: reference agent_smoke/test_runner/ci_summary/
+# history counterparts)
+# ---------------------------------------------------------------------------
+
+def test_agent_smoke_list():
+    r = run_script("agent_smoke.py", "--list")
+    assert r.returncode == 0
+    assert "pytest -m smoke" in r.stdout
+    assert "tests/test_security_regression.py" in r.stdout
+
+
+def test_agent_test_runner_writes_timing_artifact(tmp_path):
+    # a tiny filtered run keeps this test fast while exercising the
+    # junit aggregation + artifact layout end to end
+    import shutil
+    art = os.path.join(ROOT, "artifacts", "test-runs")
+    r = run_script("agent_test_runner.py", "tests/test_db_compat.py")
+    assert r.returncode == 0, r.stdout + r.stderr
+    latest = os.path.join(art, "latest.json")
+    with open(latest, encoding="utf-8") as fh:
+        summary = json.load(fh)
+    assert summary["totals"]["tests"] > 0
+    assert summary["totals"]["failures"] == 0
+    suites = {s["suite"] for s in summary["suites"]}
+    assert "test_db_compat" in suites
+    assert all(s["seconds"] >= 0 for s in summary["suites"])
+
+
+def test_agent_history_and_ci_summary_read_artifacts():
+    # history lists whatever exists (bench rounds are committed, so at
+    # least those rows must render)
+    r = run_script("agent_history.py", "list")
+    assert r.returncode == 0
+    assert "bench" in r.stdout
+    r2 = run_script("agent_history.py", "bench")
+    assert r2.returncode == 0 and "prefix_cache_question" in r2.stdout
+    r3 = run_script("agent_ci_summary.py")
+    assert r3.returncode == 0
+    assert "Bench" in r3.stdout

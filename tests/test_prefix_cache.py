@@ -7,6 +7,9 @@ from deepvision_tpu.engine.engine import EngineConfig, LLMEngine
 from deepvision_tpu.engine.kv_cache import PageAllocator
 from deepvision_tpu.engine.prefix_cache import PrefixCache
 
+# fast main-path tier: scripts/agent_smoke.py runs `pytest -m smoke`
+pytestmark = pytest.mark.smoke
+
 
 @pytest.fixture(scope="module")
 def engine():

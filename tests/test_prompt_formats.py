@@ -17,6 +17,10 @@ import json
 import random
 
 from deepvision_tpu.web.runtime import prompt_formats, report_v3
+import pytest
+
+# fast main-path tier: scripts/agent_smoke.py runs `pytest -m smoke`
+pytestmark = pytest.mark.smoke
 
 
 def _pack():

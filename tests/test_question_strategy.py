@@ -23,6 +23,9 @@ from deepvision_tpu.web.runtime.interview import (
     parse_question_response,
 )
 
+# fast main-path tier: scripts/agent_smoke.py runs `pytest -m smoke`
+pytestmark = pytest.mark.smoke
+
 DIM = {"id": "customer_needs", "name": "客户需求",
        "key_aspects": ["目标用户", "核心痛点", "使用场景"]}
 

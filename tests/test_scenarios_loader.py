@@ -13,6 +13,9 @@ from deepvision_tpu.web.scenarios import (
 )
 from deepvision_tpu.engine.client import ModelGateway
 
+# fast main-path tier: scripts/agent_smoke.py runs `pytest -m smoke`
+pytestmark = pytest.mark.smoke
+
 
 @pytest.fixture()
 def loader():

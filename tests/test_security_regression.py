@@ -12,6 +12,9 @@ import pytest
 
 from deepvision_tpu.web.server import create_app
 
+# fast main-path tier: scripts/agent_smoke.py runs `pytest -m smoke`
+pytestmark = pytest.mark.smoke
+
 
 @pytest.fixture()
 def app():

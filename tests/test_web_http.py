@@ -1,6 +1,10 @@
 """Micro-framework tests: routing, JSON, sessions, multipart, errors."""
 
 from deepvision_tpu.web.http import App, HTTPError, Response, jsonify
+import pytest
+
+# fast main-path tier: scripts/agent_smoke.py runs `pytest -m smoke`
+pytestmark = pytest.mark.smoke
 
 
 def make_app():
