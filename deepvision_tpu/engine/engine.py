@@ -10,6 +10,7 @@ local scheduler instead of a remote gateway).
 from __future__ import annotations
 
 import dataclasses
+import functools
 import threading
 import time
 from typing import Optional, Sequence
@@ -58,6 +59,13 @@ class EngineConfig:
     # for the app's grammar-constrained JSON in practice (tests pin
     # parity), but off by default so checkpoints serve bit-identically.
     quantize: str = ""
+    # int8 KV page pools ("int8" | "").  Halves the decode kernel's
+    # dominant HBM stream (KV page DMAs) AND doubles sessions-per-chip
+    # for the same pool bytes.  Static per-(layer, kv-head) scales are
+    # calibrated at boot from one forward over a representative prompt
+    # (model.calibrate_kv_scales); dequant folds into existing scalars
+    # so the kernel cost is just the int8 DMA size.
+    kv_quantize: str = ""
     # Fuse wq|wk|wv and w_gate|w_up into single matmuls (engine/fuse.py).
     # Default OFF: the whole decode step is ONE XLA program (no per-op
     # launch cost to save), and the round-3 on-chip K-sweep measured the
@@ -109,12 +117,43 @@ class LLMEngine:
         self.cfg = cfg
         self.model_cfg = model_cfg or get_model_config(cfg.model)
         self.tokenizer = get_tokenizer(cfg.tokenizer)
+        import jax
+        import jax.numpy as jnp
+
+        if cfg.kv_quantize and cfg.kv_quantize != "int8":
+            raise ValueError(
+                f"unknown kv_quantize mode {cfg.kv_quantize!r}; "
+                "supported: int8"
+            )
         self.cache_cfg = CacheConfig(
             num_pages=cfg.num_pages,
             page_size=cfg.page_size,
             max_pages_per_seq=cfg.max_pages_per_seq,
+            dtype=jnp.int8 if cfg.kv_quantize == "int8" else jnp.bfloat16,
         )
         params = load_or_init(self.model_cfg, cfg.checkpoint_dir, cfg.seed)
+        self._kv_scales = None
+        if self.cache_cfg.quantized:
+            # one dense forward over a representative interview prompt on
+            # the RAW params (before any weight fuse/quant transforms)
+            from deepvision_tpu.engine import model as model_lib
+
+            sample = (
+                "你是一名资深需求访谈顾问，正在进行结构化访谈。\n\n"
+                "访谈主题：企业客户关系管理系统需求调研\n\n"
+                "【参考文档：需求说明】\n现状为多套异构系统并存，数据口径"
+                "不一致，补货决策依赖人工经验，期望统一数据底座。\n\n"
+                "当前维度：客户需求（关注要点：核心痛点、期望价值）\n\n"
+                "请生成下一个访谈问题，输出 JSON：{\"question\": \"...\"}"
+            )
+            ids = self.tokenizer.encode(sample)[:256]
+            ids = (ids * (256 // max(1, len(ids)) + 1))[:256]
+            toks = jnp.asarray([ids, ids[::-1]], jnp.int32)
+            self._kv_scales = jax.jit(
+                functools.partial(model_lib.calibrate_kv_scales,
+                                  cfg=self.model_cfg,
+                                  interpret=cfg.interpret)
+            )(params, toks)
         if cfg.fuse_projections and cfg.tp <= 1:
             from deepvision_tpu.engine.fuse import fuse_params
 
@@ -172,6 +211,7 @@ class LLMEngine:
                        if self.json_dfa is not None else None),
             dfa_dist=(self.json_dfa.dist
                       if self.json_dfa is not None else None),
+            kv_scales=self._kv_scales,
         )
         self.allocator = PageAllocator(cfg.num_pages)
         self.scheduler = ContinuousBatchingScheduler(

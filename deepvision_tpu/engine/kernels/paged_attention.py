@@ -37,6 +37,8 @@ def _default_interpret() -> bool:
 def _paged_kernel(
     bt_ref,      # [B, MP] int32 scalar-prefetch: block tables
     lens_ref,    # [B] int32 scalar-prefetch: lengths incl. current token
+    ks_ref,      # [KV] f32 scalar-prefetch: K dequant scales (1.0 = bf16)
+    vs_ref,      # [KV] f32 scalar-prefetch: V dequant scales
     q_ref,       # [1, 1, Gp, HD] VMEM
     kp_ref,      # [KV, N, P, HD] HBM (ANY)
     vp_ref,      # [KV, N, P, HD] HBM (ANY)
@@ -67,7 +69,10 @@ def _paged_kernel(
     k_copy(0, 0).start()
     v_copy(0, 0).start()
 
-    q = q_ref[0, 0].astype(jnp.float32) * scale  # [Gp, HD]
+    # int8 pools: K's dequant scale folds into the softmax q-scale and V's
+    # into the final normalize — the per-page cost of quantized KV is just
+    # the int8->f32 astype the bf16 path already pays.
+    q = q_ref[0, 0].astype(jnp.float32) * (scale * ks_ref[kv])  # [Gp, HD]
     gp, hd = q.shape
     pos_in_page = jax.lax.broadcasted_iota(
         jnp.int32, (gp, page_size), dimension=1
@@ -117,7 +122,7 @@ def _paged_kernel(
     _, l, acc = jax.lax.fori_loop(0, num_pages, body, (m0, l0, acc0))
 
     l = jnp.where(l == 0.0, 1.0, l)
-    o_ref[0, 0] = (acc / l).astype(o_ref.dtype)
+    o_ref[0, 0] = (acc / l * vs_ref[kv]).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -128,16 +133,20 @@ def paged_attention(
     block_tables: jax.Array,
     seq_lens: jax.Array,
     *,
+    k_scale: jax.Array | None = None,
+    v_scale: jax.Array | None = None,
     interpret: bool | None = None,
 ):
     """Decode-step attention over a paged KV cache.
 
     Args:
       q: ``[B, H, HD]`` — this step's queries (one token per sequence).
-      k_pages, v_pages: ``[KV, N_PAGES, PAGE, HD]`` shared page pools.
+      k_pages, v_pages: ``[KV, N_PAGES, PAGE, HD]`` shared page pools
+        (bf16, or int8 with ``k_scale``/``v_scale``).
       block_tables: ``[B, MAX_PAGES]`` int32 page ids per sequence
         (page id 0 is the reserved trash page; unused entries may be 0).
       seq_lens: ``[B]`` int32 lengths *including* the current token.
+      k_scale / v_scale: ``[KV]`` static dequant scales for int8 pools.
 
     Returns:
       ``[B, H, HD]`` attention outputs.
@@ -146,12 +155,17 @@ def paged_attention(
         interpret = _default_interpret()
     B, H, HD = q.shape
     KV, N, P, _ = k_pages.shape
+    if k_scale is None:
+        k_scale = jnp.ones(KV, jnp.float32)
+    if v_scale is None:
+        v_scale = jnp.ones(KV, jnp.float32)
     if HD % 128 != 0 and not interpret:
         # Mosaic can only DMA-slice page pools whose trailing dim fills whole
         # 128-lane tiles; sub-128 head dims (small/test models) take the XLA
         # gather path instead.  All production presets use head_dim >= 128.
         return paged_attention_reference(
-            q, k_pages, v_pages, block_tables, seq_lens
+            q, k_pages, v_pages, block_tables, seq_lens,
+            k_scale=k_scale, v_scale=v_scale,
         )
     assert H % KV == 0
     g = H // KV
@@ -164,10 +178,10 @@ def paged_attention(
 
     scale = HD ** -0.5
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=4,
         grid=(B, KV),
         in_specs=[
-            pl.BlockSpec((1, 1, gp, HD), lambda b, kv, bt, lens: (b, kv, 0, 0)),
+            pl.BlockSpec((1, 1, gp, HD), lambda b, kv, *_: (b, kv, 0, 0)),
             # Page pools must stay in HBM: ANY lets Mosaic promote small
             # pools to VMEM, where dynamic leading-dim slices for the DMA
             # hit tiled-layout alignment limits.
@@ -175,7 +189,7 @@ def paged_attention(
             pl.BlockSpec(memory_space=pltpu.HBM),
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, gp, HD), lambda b, kv, bt, lens: (b, kv, 0, 0)
+            (1, 1, gp, HD), lambda b, kv, *_: (b, kv, 0, 0)
         ),
         scratch_shapes=[
             pltpu.VMEM((2, P, HD), k_pages.dtype),
@@ -193,6 +207,8 @@ def paged_attention(
     )(
         block_tables.astype(jnp.int32),
         seq_lens.astype(jnp.int32),
+        k_scale.astype(jnp.float32),
+        v_scale.astype(jnp.float32),
         qg,
         k_pages,
         v_pages,
@@ -209,8 +225,10 @@ def _fused_kernel_b(
     lens_ref,    # [B] lengths incl. current token
     pages_ref,   # [B] page id holding the current token
     offs_ref,    # [B] row offset within that page
+    ks_ref,      # [KV] f32 K dequant scales (all 1.0 for bf16 pools)
+    vs_ref,      # [KV] f32 V dequant scales
     q_ref,       # [1, KV, Gp, HD] VMEM — ALL kv heads' queries for this b
-    nk_ref,      # [1, KV, 1, HD] VMEM — this step's k rows
+    nk_ref,      # [1, KV, 1, HD] VMEM — this step's k rows (pool dtype)
     nv_ref,      # [1, KV, 1, HD] VMEM
     kp_ref,      # [KV, N, P, HD] HBM (aliased to kp_out)
     vp_ref,      # [KV, N, P, HD] HBM (aliased to vp_out)
@@ -357,7 +375,9 @@ def _fused_kernel_b(
         k = k_buf[slot].astype(jnp.float32)
         v = v_buf[slot].astype(jnp.float32)
 
-        q = q_ref[0, kv].astype(jnp.float32) * scale  # [Gp, HD]
+        # int8 dequant rides the existing scalars: ks folds into the
+        # q-scale, vs into the final normalize — no per-page multiply.
+        q = q_ref[0, kv].astype(jnp.float32) * (scale * ks_ref[kv])
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -382,7 +402,8 @@ def _fused_kernel_b(
         @pl.when(p == num_pages - 1)
         def _():
             l_safe = jnp.where(l_new == 0.0, 1.0, l_new)
-            o_ref[0, kv] = (acc_new / l_safe).astype(o_ref.dtype)
+            o_ref[0, kv] = (acc_new / l_safe * vs_ref[kv]).astype(
+                o_ref.dtype)
 
         return m_new, l_new, acc_new
 
@@ -394,6 +415,8 @@ def _fused_kernel(
     lens_ref,    # [B] lengths incl. current token
     pages_ref,   # [B] page id holding the current token
     offs_ref,    # [B] row offset within that page
+    ks_ref,      # [KV] f32 K dequant scales (all 1.0 for bf16 pools)
+    vs_ref,      # [KV] f32 V dequant scales
     q_ref,       # [1, 1, Gp, HD] VMEM
     nk_ref,      # [1, 1, 1, HD] VMEM — this step's k row for (b, kv)
     nv_ref,      # [1, 1, 1, HD] VMEM
@@ -463,7 +486,7 @@ def _fused_kernel(
     k_copy(0, 0).start()
     v_copy(0, 0).start()
 
-    q = q_ref[0, 0].astype(jnp.float32) * scale
+    q = q_ref[0, 0].astype(jnp.float32) * (scale * ks_ref[kv])
     gp, hd = q.shape
     pos_in_page = jax.lax.broadcasted_iota(
         jnp.int32, (gp, page_size), dimension=1
@@ -504,7 +527,7 @@ def _fused_kernel(
     acc0 = jnp.zeros((gp, hd), dtype=jnp.float32)
     _, l, acc = jax.lax.fori_loop(0, num_pages, body, (m0, l0, acc0))
     l = jnp.where(l == 0.0, 1.0, l)
-    o_ref[0, 0] = (acc / l).astype(o_ref.dtype)
+    o_ref[0, 0] = (acc / l * vs_ref[kv]).astype(o_ref.dtype)
 
 
 def paged_attention_update(
@@ -516,6 +539,8 @@ def paged_attention_update(
     block_tables: jax.Array,
     seq_lens: jax.Array,   # incl. current token
     *,
+    k_scale: jax.Array | None = None,   # [KV] — int8 pools only
+    v_scale: jax.Array | None = None,
     interpret: bool | None = None,
     grid_mode: str = "b",
 ):
@@ -525,6 +550,12 @@ def paged_attention_update(
     the SAME buffers (``input_output_aliases``) — zero cache copies per
     step, vs. one full-pool copy for the XLA-scatter + separate-kernel
     route.
+
+    int8 pools: the new rows are quantized HERE (XLA side, where the
+    static scales live), so the kernel's RMW patches int8 rows as-is; the
+    read side folds dequant into existing scalars.  This halves the
+    kernel's dominant HBM stream (KV page DMAs) with no in-kernel scale
+    bookkeeping.
 
     ``grid_mode="b"`` (default, measured 1.6x faster per decode step —
     PERF_NOTES round-3 decode anatomy): one program per sequence with a
@@ -541,6 +572,17 @@ def paged_attention_update(
     )[:, 0].astype(jnp.int32)
     offs = (positions % P).astype(jnp.int32)
 
+    quantized = k_pages.dtype == jnp.int8
+    if k_scale is None:
+        k_scale = jnp.ones(KV, jnp.float32)
+    if v_scale is None:
+        v_scale = jnp.ones(KV, jnp.float32)
+    if quantized:
+        from deepvision_tpu.engine.kv_cache import quantize_rows
+
+        new_k = quantize_rows(new_k, k_scale, new_k.ndim - 2)
+        new_v = quantize_rows(new_v, v_scale, new_v.ndim - 2)
+
     if HD % 128 != 0 and not interpret:
         # Fallback path for sub-lane head dims (test models).
         from deepvision_tpu.engine.kv_cache import write_decode_token
@@ -549,7 +591,8 @@ def paged_attention_update(
             k_pages, v_pages, new_k, new_v, block_tables, positions
         )
         out = paged_attention_reference(
-            q, k_pages, v_pages, block_tables, seq_lens
+            q, k_pages, v_pages, block_tables, seq_lens,
+            k_scale=k_scale, v_scale=v_scale,
         )
         return out, k_pages, v_pages
 
@@ -564,7 +607,7 @@ def paged_attention_update(
     if grid_mode == "b":
         depth = 8  # DMA pipeline depth; VMEM cost 2*depth*P*HD*itemsize
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=4,
+            num_scalar_prefetch=6,
             grid=(B,),
             in_specs=[
                 pl.BlockSpec((1, KV, gp, HD), lambda b, *_: (b, 0, 0, 0)),
@@ -592,7 +635,7 @@ def paged_attention_update(
         )
     else:
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=4,
+            num_scalar_prefetch=6,
             grid=(B, KV),
             in_specs=[
                 pl.BlockSpec((1, 1, gp, HD), lambda b, kv, *_: (b, kv, 0, 0)),
@@ -626,23 +669,33 @@ def paged_attention_update(
             jax.ShapeDtypeStruct(k_pages.shape, k_pages.dtype),
             jax.ShapeDtypeStruct(v_pages.shape, v_pages.dtype),
         ),
-        # flattened input order: 4 scalar-prefetch args, then
-        # q(4), nk(5), nv(6), k_pages(7), v_pages(8)
-        input_output_aliases={7: 1, 8: 2},
+        # flattened input order: 6 scalar-prefetch args, then
+        # q(6), nk(7), nv(8), k_pages(9), v_pages(10)
+        input_output_aliases={9: 1, 10: 2},
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(
         block_tables.astype(jnp.int32), seq_lens.astype(jnp.int32),
-        pages_idx, offs, qg, nk4, nv4, k_pages, v_pages,
+        pages_idx, offs,
+        k_scale.astype(jnp.float32), v_scale.astype(jnp.float32),
+        qg, nk4, nv4, k_pages, v_pages,
     )
     return out[:, :, :g, :].reshape(B, H, HD), kp2, vp2
 
 
-def paged_attention_reference(q, k_pages, v_pages, block_tables, seq_lens):
+def paged_attention_reference(q, k_pages, v_pages, block_tables, seq_lens,
+                              k_scale=None, v_scale=None):
     """jnp reference (gathers pages densely) used to validate the kernel."""
     B, H, HD = q.shape
     KV, N, P, _ = k_pages.shape
     MP = block_tables.shape[1]
+    if k_pages.dtype == jnp.int8:
+        ks = (k_scale if k_scale is not None
+              else jnp.ones(KV, jnp.float32))[:, None, None, None]
+        vs = (v_scale if v_scale is not None
+              else jnp.ones(KV, jnp.float32))[:, None, None, None]
+        k_pages = k_pages.astype(jnp.float32) * ks
+        v_pages = v_pages.astype(jnp.float32) * vs
     # [KV, B, MP, P, HD] -> [B, S_max, KV, HD]
     k = k_pages[:, block_tables].transpose(1, 2, 3, 0, 4).reshape(
         B, MP * P, KV, HD

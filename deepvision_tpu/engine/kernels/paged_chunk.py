@@ -32,6 +32,8 @@ def _chunk_kernel(
     bt_ref,       # [B, MP] block tables
     starts_ref,   # [B] chunk start position
     lens_ref,     # [B] total length incl. this chunk
+    ks_ref,       # [KV] f32 K dequant scales (all 1.0 for bf16 pools)
+    vs_ref,       # [KV] f32 V dequant scales
     q_ref,        # [1, 1, C*G, HD]
     kp_ref,       # [KV, N, P, HD] HBM
     vp_ref,       # [KV, N, P, HD] HBM
@@ -61,7 +63,9 @@ def _chunk_kernel(
     k_copy(0, 0).start()
     v_copy(0, 0).start()
 
-    q = q_ref[0, 0].astype(jnp.float32) * scale  # [C*G, HD]
+    # int8 pools: K scale folds into the q-scale, V scale into the final
+    # normalize (see paged_attention.py) — dequant costs no extra FLOPs.
+    q = q_ref[0, 0].astype(jnp.float32) * (scale * ks_ref[kv])  # [C*G, HD]
     rows, hd = q.shape
     # query position per row: start + row // group
     q_pos = start + jax.lax.broadcasted_iota(
@@ -106,7 +110,7 @@ def _chunk_kernel(
     acc0 = jnp.zeros((rows, hd), dtype=jnp.float32)
     _, l, acc = jax.lax.fori_loop(0, num_pages, body, (m0, l0, acc0))
     l = jnp.where(l == 0.0, 1.0, l)
-    o_ref[0, 0] = (acc / l).astype(o_ref.dtype)
+    o_ref[0, 0] = (acc / l * vs_ref[kv]).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -118,6 +122,8 @@ def paged_chunk_attention(
     chunk_starts: jax.Array,  # [B] position of the chunk's first query
     seq_lens: jax.Array,      # [B] total length incl. this chunk
     *,
+    k_scale: jax.Array | None = None,   # [KV] — int8 pools only
+    v_scale: jax.Array | None = None,
     interpret: bool | None = None,
 ):
     """Returns ``[B, C, H, HD]`` attention outputs for the chunk."""
@@ -125,6 +131,10 @@ def paged_chunk_attention(
         interpret = _default_interpret()
     B, C, H, HD = q.shape
     KV, N, P, _ = k_pages.shape
+    if k_scale is None:
+        k_scale = jnp.ones(KV, jnp.float32)
+    if v_scale is None:
+        v_scale = jnp.ones(KV, jnp.float32)
     g = H // KV
 
     # [B, C, H, HD] -> [B, KV, C*G, HD]; row r = query (r // g), member r%g
@@ -135,7 +145,7 @@ def paged_chunk_attention(
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=5,
         grid=(B, KV),
         in_specs=[
             pl.BlockSpec(
@@ -166,6 +176,8 @@ def paged_chunk_attention(
         block_tables.astype(jnp.int32),
         chunk_starts.astype(jnp.int32),
         seq_lens.astype(jnp.int32),
+        k_scale.astype(jnp.float32),
+        v_scale.astype(jnp.float32),
         qg, k_pages, v_pages,
     )
     return (
@@ -176,12 +188,20 @@ def paged_chunk_attention(
 
 
 def paged_chunk_attention_reference(
-    q, k_pages, v_pages, block_tables, chunk_starts, seq_lens
+    q, k_pages, v_pages, block_tables, chunk_starts, seq_lens,
+    k_scale=None, v_scale=None,
 ):
     """Dense jnp reference for tests."""
     B, C, H, HD = q.shape
     KV, N, P, _ = k_pages.shape
     MP = block_tables.shape[1]
+    if k_pages.dtype == jnp.int8:
+        ks = (k_scale if k_scale is not None
+              else jnp.ones(KV, jnp.float32))[:, None, None, None]
+        vs = (v_scale if v_scale is not None
+              else jnp.ones(KV, jnp.float32))[:, None, None, None]
+        k_pages = k_pages.astype(jnp.float32) * ks
+        v_pages = v_pages.astype(jnp.float32) * vs
     k = k_pages[:, block_tables].transpose(1, 2, 3, 0, 4).reshape(
         B, MP * P, KV, HD
     )

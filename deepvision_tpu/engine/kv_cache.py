@@ -38,13 +38,29 @@ class CacheConfig:
     def max_context(self) -> int:
         return self.page_size * self.max_pages_per_seq
 
+    @property
+    def quantized(self) -> bool:
+        return jnp.dtype(self.dtype) == jnp.dtype(jnp.int8)
 
-def init_cache(model: ModelConfig, cache: CacheConfig) -> dict:
+
+def init_cache(model: ModelConfig, cache: CacheConfig,
+               kv_scales=None) -> dict:
     """Per-layer page pools as SEPARATE arrays (tuple leaves).
 
     Separate leaves let each layer's pools be donated whole to the fused
     write+attend kernel (``input_output_aliases``) — true in-place decode.
     A single stacked ``[L, ...]`` array cannot alias per-layer slices.
+
+    int8 mode (``cache.dtype == int8``): pools store int8 rows quantized
+    with STATIC per-(layer, kv-head) symmetric scales — halves decode's
+    dominant HBM stream (the KV pages) and doubles sessions-per-chip.
+    ``kv_scales`` is ``(k_scales [L, KV], v_scales [L, KV])`` from
+    :func:`calibrate_kv_scales` (falls back to 1/16 — a sane range for
+    RMS-normed, RoPE-rotated heads — when no calibration is available).
+    Static scales keep the decode RMW trivial (no in-kernel scale
+    updates, no clip-tracking): calibration picks the scale with margin,
+    and the quality cost is measured, not assumed
+    (scripts/eval_quant_quality.py).
     """
     shape = (
         model.n_kv_heads,
@@ -52,7 +68,7 @@ def init_cache(model: ModelConfig, cache: CacheConfig) -> dict:
         cache.page_size,
         model.head_dim,
     )
-    return {
+    out = {
         "k": tuple(
             jnp.zeros(shape, dtype=cache.dtype)
             for _ in range(model.n_layers)
@@ -62,6 +78,36 @@ def init_cache(model: ModelConfig, cache: CacheConfig) -> dict:
             for _ in range(model.n_layers)
         ),
     }
+    if cache.quantized:
+        if kv_scales is None:
+            ks = vs = jnp.full(
+                (model.n_layers, model.n_kv_heads), 1.0 / 16.0, jnp.float32
+            )
+        else:
+            ks = jnp.asarray(kv_scales[0], jnp.float32)
+            vs = jnp.asarray(kv_scales[1], jnp.float32)
+        out["ks"] = tuple(ks[i] for i in range(model.n_layers))
+        out["vs"] = tuple(vs[i] for i in range(model.n_layers))
+    return out
+
+
+def quantize_rows(x: jax.Array, scale: jax.Array, kv_axis: int) -> jax.Array:
+    """Symmetric int8 quantization of K/V rows with a per-kv-head scale.
+
+    ``x``: float rows with the kv-head axis at ``kv_axis``;
+    ``scale``: [KV] float32.  Returns int8 of the same shape."""
+    shape = [1] * x.ndim
+    shape[kv_axis] = -1
+    s = scale.reshape(shape)
+    q = jnp.round(x.astype(jnp.float32) / s)
+    return jnp.clip(q, -127.0, 127.0).astype(jnp.int8)
+
+
+def maybe_quantize(x, pages, scale):
+    """Quantize ``x`` (kv axis = -2) iff the target pool is int8."""
+    if pages.dtype == jnp.int8:
+        return quantize_rows(x, scale, x.ndim - 2)
+    return x
 
 
 def cache_hbm_bytes(model: ModelConfig, cache: CacheConfig) -> int:
@@ -77,10 +123,14 @@ def cache_hbm_bytes(model: ModelConfig, cache: CacheConfig) -> int:
 
 def stack_cache(cache: dict):
     """Stacked ``[L, ...]`` view for checkpointing/inspection."""
-    return {
+    out = {
         "k": jnp.stack(cache["k"]),
         "v": jnp.stack(cache["v"]),
     }
+    if "ks" in cache:
+        out["ks"] = jnp.stack(cache["ks"])
+        out["vs"] = jnp.stack(cache["vs"])
+    return out
 
 
 class PageAllocator:
@@ -151,6 +201,8 @@ def write_prefill_pages(
     k_new: jax.Array,
     v_new: jax.Array,
     block_table: jax.Array,
+    k_scale=None,
+    v_scale=None,
 ):
     """Scatter a freshly prefilled prompt's K/V into the page pool.
 
@@ -159,7 +211,11 @@ def write_prefill_pages(
       k_new / v_new: ``[B, S, KV, HD]`` with S a multiple of P.
       block_table: ``[B, S // P]`` destination page ids (0-padded tails write
         into the trash page).
+      k_scale / v_scale: [KV] static scales (int8 pools only).
     """
+    if k_pages_l.dtype == jnp.int8:
+        k_new = quantize_rows(k_new, k_scale, k_new.ndim - 2)
+        v_new = quantize_rows(v_new, v_scale, v_new.ndim - 2)
     KV, N, P, HD = k_pages_l.shape
     B, S = k_new.shape[0], k_new.shape[1]
     n_chunks = S // P
@@ -186,8 +242,13 @@ def write_chunk_tokens(
     block_tables: jax.Array,  # [B, MAX_PAGES]
     positions: jax.Array,     # [B, C] absolute token positions
     seq_lens: jax.Array,      # [B] — rows at positions >= len hit page 0
+    k_scale=None,
+    v_scale=None,
 ):
     """Scatter a prefill chunk's K/V rows (chunked prefill path)."""
+    if k_pages_l.dtype == jnp.int8:
+        k_new = quantize_rows(k_new, k_scale, k_new.ndim - 2)
+        v_new = quantize_rows(v_new, v_scale, v_new.ndim - 2)
     P = k_pages_l.shape[2]
     valid = positions < seq_lens[:, None]
     page_slot = jnp.clip(
@@ -210,6 +271,8 @@ def write_decode_token(
     v_new: jax.Array,
     block_tables: jax.Array,
     positions: jax.Array,
+    k_scale=None,
+    v_scale=None,
 ):
     """Scatter one decode step's K/V (one token per sequence).
 
@@ -218,6 +281,9 @@ def write_decode_token(
       block_tables: ``[B, MAX_PAGES]``.
       positions: ``[B]`` zero-based position of the new token.
     """
+    if k_pages_l.dtype == jnp.int8:
+        k_new = quantize_rows(k_new, k_scale, k_new.ndim - 2)
+        v_new = quantize_rows(v_new, v_scale, v_new.ndim - 2)
     P = k_pages_l.shape[2]
     page_idx = jnp.take_along_axis(
         block_tables, (positions // P)[:, None], axis=1

@@ -157,6 +157,14 @@ def _logits(x, params, cfg: ModelConfig, axis: Optional[str],
 # Prefill
 # ---------------------------------------------------------------------------
 
+def _kv_scales(cache, layer_idx):
+    """Per-layer static int8 KV scales ([KV] each), or (None, None) for
+    bf16 pools (kv_cache.init_cache only adds ks/vs in int8 mode)."""
+    if "ks" in cache:
+        return cache["ks"][layer_idx], cache["vs"][layer_idx]
+    return None, None
+
+
 def forward_prefill(
     params,
     cache,
@@ -197,8 +205,10 @@ def forward_prefill(
         q = apply_rope(q, positions, cfg.rope_theta)
         k = apply_rope(k, positions, cfg.rope_theta)
 
+        ksc, vsc = _kv_scales(cache, layer_idx)
         k_list[layer_idx], v_list[layer_idx] = write_prefill_pages(
-            k_list[layer_idx], v_list[layer_idx], k, v, prefill_pages
+            k_list[layer_idx], v_list[layer_idx], k, v, prefill_pages,
+            k_scale=ksc, v_scale=vsc,
         )
 
         attn = flash_attention(
@@ -222,7 +232,7 @@ def forward_prefill(
         x, (seq_lens - 1)[:, None, None].astype(jnp.int32), axis=1
     )[:, 0]
     logits = _logits(last, params, cfg, axis, vocab_sharded)
-    return logits, {"k": tuple(k_list), "v": tuple(v_list)}
+    return logits, dict(cache, k=tuple(k_list), v=tuple(v_list))
 
 
 def forward_prefill_chunk(
@@ -271,14 +281,17 @@ def forward_prefill_chunk(
         q = apply_rope(q, positions, cfg.rope_theta)
         k = apply_rope(k, positions, cfg.rope_theta)
 
+        ksc, vsc = _kv_scales(cache, layer_idx)
         k_list[layer_idx], v_list[layer_idx] = write_chunk_tokens(
             k_list[layer_idx], v_list[layer_idx], k, v,
             block_tables, positions, seq_lens,
+            k_scale=ksc, v_scale=vsc,
         )
         chunk_end = jnp.minimum(chunk_starts + C, seq_lens)
         attn = paged_chunk_attention(
             q, k_list[layer_idx], v_list[layer_idx], block_tables,
-            chunk_starts, chunk_end, interpret=interpret,
+            chunk_starts, chunk_end, k_scale=ksc, v_scale=vsc,
+            interpret=interpret,
         )
         attn = attn.reshape(B, C, n_heads_local * cfg.head_dim)
         out = qdot(attn, blk["wo"], preferred_element_type=jnp.float32)
@@ -292,7 +305,7 @@ def forward_prefill_chunk(
         x, last_row[:, None, None].astype(jnp.int32), axis=1
     )[:, 0]
     logits = _logits(last, params, cfg, axis, vocab_sharded)
-    return logits, {"k": tuple(k_list), "v": tuple(v_list)}
+    return logits, dict(cache, k=tuple(k_list), v=tuple(v_list))
 
 
 # ---------------------------------------------------------------------------
@@ -342,9 +355,11 @@ def forward_decode(
         q = apply_rope(q, positions, cfg.rope_theta)
         k = apply_rope(k, positions, cfg.rope_theta)
 
+        ksc, vsc = _kv_scales(cache, layer_idx)
         attn, k_list[layer_idx], v_list[layer_idx] = paged_attention_update(
             q, k, v, k_list[layer_idx], v_list[layer_idx],
-            block_tables, seq_lens, interpret=interpret,
+            block_tables, seq_lens, k_scale=ksc, v_scale=vsc,
+            interpret=interpret,
         )  # [B, Hl, HD]
         attn = attn.reshape(B, n_heads_local * cfg.head_dim)
         out = qdot(attn, blk["wo"], preferred_element_type=jnp.float32)
@@ -354,7 +369,74 @@ def forward_decode(
 
     x = rms_norm(x, params["final_norm"], cfg.rms_eps)
     logits = _logits(x, params, cfg, axis, vocab_sharded)
-    return logits, {"k": tuple(k_list), "v": tuple(v_list)}
+    return logits, dict(cache, k=tuple(k_list), v=tuple(v_list))
+
+
+def calibrate_kv_scales(
+    params,
+    tokens: jax.Array,  # [B, S] representative prompt tokens
+    *,
+    cfg: ModelConfig,
+    margin: float = 1.25,
+    interpret: Optional[bool] = None,
+):
+    """Static int8 KV scales from one representative forward.
+
+    Runs the layer stack once (dense attention — the K/V rows are what
+    matter, and x must evolve through real attention to produce realistic
+    later-layer K/V) and returns ``(k_scales [L, KV], v_scales [L, KV])``
+    where ``scale = margin * maxabs / 127``.  K is measured AFTER RoPE
+    (rotation preserves norms but mixes channels) — exactly what the
+    pools store.  Decode-time rows that exceed the calibrated max clip at
+    +-127; ``margin`` buys headroom, and the quality cost is measured by
+    scripts/eval_quant_quality.py rather than assumed.
+    """
+    from deepvision_tpu.engine.kernels.flash_attention import (
+        flash_attention_reference,
+    )
+
+    B, S = tokens.shape
+    x = _embed(params, tokens, None, False)
+    if cfg.scale_embeddings:
+        x = x * jnp.asarray(cfg.d_model ** 0.5, dtype=x.dtype)
+    positions = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32), (B, S))
+    seq_lens = jnp.full((B,), S, dtype=jnp.int32)
+
+    def layer(x, blk):
+        h = rms_norm(x, blk["ln1"], cfg.rms_eps)
+        q, k, v = _qkv_proj(h, blk, cfg)
+        n_heads_local = q.shape[-1] // cfg.head_dim
+        n_kv_local = k.shape[-1] // cfg.head_dim
+        q = apply_rope(
+            q.reshape(B, S, n_heads_local, cfg.head_dim), positions,
+            cfg.rope_theta,
+        )
+        k = apply_rope(
+            k.reshape(B, S, n_kv_local, cfg.head_dim), positions,
+            cfg.rope_theta,
+        )
+        v = v.reshape(B, S, n_kv_local, cfg.head_dim)
+        k_max = jnp.max(jnp.abs(k.astype(jnp.float32)), axis=(0, 1, 3))
+        v_max = jnp.max(jnp.abs(v.astype(jnp.float32)), axis=(0, 1, 3))
+        attn = flash_attention_reference(
+            q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+            v.transpose(0, 2, 1, 3), seq_lens,
+        )
+        attn = attn.transpose(0, 2, 1, 3).reshape(
+            B, S, n_heads_local * cfg.head_dim)
+        out = qdot(attn, blk["wo"], preferred_element_type=jnp.float32)
+        x = x + out.astype(x.dtype)
+        h2 = rms_norm(x, blk["ln2"], cfg.rms_eps)
+        x = x + _mlp(h2, blk, None)
+        return x, (k_max, v_max)
+
+    x, (k_maxes, v_maxes) = jax.lax.scan(
+        lambda carry, blk: layer(carry, blk), x, params["blocks"]
+    )
+    k_scales = jnp.maximum(k_maxes * margin / 127.0, 1e-6)
+    v_scales = jnp.maximum(v_maxes * margin / 127.0, 1e-6)
+    return k_scales, v_scales
+
 
 
 # ---------------------------------------------------------------------------

@@ -135,17 +135,23 @@ class ShardPlan:
         logits so constrained masks apply shard-locally."""
         return P(None, MODEL_AXIS) if self.vocab_sharded else P()
 
-    def cache_specs(self, n_layers: int) -> dict:
+    def cache_specs(self, n_layers: int, kv_quantized: bool = False) -> dict:
         # per layer [KV, N_PAGES, PAGE, HD] — shard kv heads when possible.
         spec = (
             P(MODEL_AXIS, None, None, None)
             if self.kv_sharded
             else P(None, None, None, None)
         )
-        return {
+        out = {
             "k": tuple(spec for _ in range(n_layers)),
             "v": tuple(spec for _ in range(n_layers)),
         }
+        if kv_quantized:
+            # [KV] static dequant scales ride the kv-head shard axis
+            sspec = P(MODEL_AXIS) if self.kv_sharded else P(None)
+            out["ks"] = tuple(sspec for _ in range(n_layers))
+            out["vs"] = tuple(sspec for _ in range(n_layers))
+        return out
 
 
 def named_shardings(mesh: Mesh, specs):

@@ -57,6 +57,7 @@ class ModelRunner:
         prefill_chunk_size: int = 256,
         dfa_table=None,
         dfa_dist=None,
+        kv_scales=None,
     ):
         # Grammar table for constrained decoding (engine/constrained.py):
         # [S, V_tok] int, next-state or -1.  Padded on the vocab axis to the
@@ -97,16 +98,18 @@ class ModelRunner:
             assert plan is not None
             axis = "model"
             cache_shardings = named_shardings(
-                mesh, plan.cache_specs(cfg.n_layers)
+                mesh,
+                plan.cache_specs(cfg.n_layers,
+                                 kv_quantized=cache_cfg.quantized),
             )
             self.cache = jax.tree.map(
                 lambda leaf, s: jax.device_put(leaf, s),
-                init_cache(cfg, cache_cfg),
+                init_cache(cfg, cache_cfg, kv_scales=kv_scales),
                 cache_shardings,
             )
             self.params = params  # caller pre-shards via parallel.shard_params
         else:
-            self.cache = init_cache(cfg, cache_cfg)
+            self.cache = init_cache(cfg, cache_cfg, kv_scales=kv_scales)
             self.params = jax.device_put(params)
 
         self._prefill_fns = {}
@@ -128,7 +131,8 @@ class ModelRunner:
 
         plan, cfg = self.plan, self.cfg
         param_specs = plan.param_specs(cfg, quantized=is_quantized(self.params))
-        cache_specs = plan.cache_specs(cfg.n_layers)
+        cache_specs = plan.cache_specs(
+            cfg.n_layers, kv_quantized=self.cache_cfg.quantized)
 
         trailing = [P() for _ in range(cache_in_tree_spec)]
         # the LAST step arg is always the grammar table; under vocab

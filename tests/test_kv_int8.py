@@ -1,0 +1,230 @@
+"""int8 KV page pools: quantized-kernel parity, writer round-trips,
+calibration, and end-to-end engine decode (interpret mode).
+
+The round-4 decode lever (PERF_NOTES kernel residual analysis): the paged
+decode kernel is DMA-latency/traffic-bound on its KV page stream — int8
+pages halve that stream and double sessions-per-chip.  Scales are STATIC
+per (layer, kv-head) from boot-time calibration, so the kernel needs no
+scale bookkeeping; these tests pin the numerics that design relies on.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deepvision_tpu.engine.config import TINY_TEST
+from deepvision_tpu.engine.kernels.paged_attention import (
+    paged_attention,
+    paged_attention_reference,
+    paged_attention_update,
+)
+from deepvision_tpu.engine.kernels.paged_chunk import (
+    paged_chunk_attention,
+    paged_chunk_attention_reference,
+)
+from deepvision_tpu.engine.kv_cache import (
+    CacheConfig,
+    init_cache,
+    quantize_rows,
+    write_decode_token,
+    write_prefill_pages,
+)
+
+B, KV, G, HD, P, N, MP = 2, 2, 2, 32, 8, 16, 4
+H = KV * G
+
+
+def _rand_pools(rng, dtype=jnp.bfloat16):
+    k = rng.standard_normal((KV, N, P, HD)).astype(np.float32)
+    v = rng.standard_normal((KV, N, P, HD)).astype(np.float32)
+    return jnp.asarray(k, dtype), jnp.asarray(v, dtype)
+
+
+def _quantize_pools(kf, vf, margin=1.0):
+    ks = jnp.max(jnp.abs(kf), axis=(1, 2, 3)) * margin / 127.0
+    vs = jnp.max(jnp.abs(vf), axis=(1, 2, 3)) * margin / 127.0
+    kq = quantize_rows(kf.transpose(1, 2, 0, 3), ks, 2).transpose(2, 0, 1, 3)
+    vq = quantize_rows(vf.transpose(1, 2, 0, 3), vs, 2).transpose(2, 0, 1, 3)
+    return kq, vq, ks, vs
+
+
+def test_quantize_rows_round_trip_accuracy():
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((4, KV, HD)), jnp.float32)
+    scale = jnp.max(jnp.abs(x), axis=(0, 2)) / 127.0
+    q = quantize_rows(x, scale, 1)
+    assert q.dtype == jnp.int8
+    back = q.astype(jnp.float32) * scale[None, :, None]
+    # worst-case quantization error is scale/2 per element
+    err = np.abs(np.asarray(back - x))
+    assert err.max() <= float(jnp.max(scale)) * 0.51
+
+
+def test_paged_attention_int8_matches_f32_reference():
+    rng = np.random.default_rng(1)
+    q = jnp.asarray(rng.standard_normal((B, H, HD)), jnp.float32)
+    kf = jnp.asarray(rng.standard_normal((KV, N, P, HD)), jnp.float32)
+    vf = jnp.asarray(rng.standard_normal((KV, N, P, HD)), jnp.float32)
+    bt = jnp.asarray(
+        rng.choice(np.arange(1, N), size=(B, MP), replace=False), jnp.int32
+    )
+    lens = jnp.asarray([P * MP - 3, P + 2], jnp.int32)
+
+    ref_f32 = paged_attention_reference(q, kf, vf, bt, lens)
+    kq, vq, ks, vs = _quantize_pools(kf, vf)
+    out_q = paged_attention(q, kq, vq, bt, lens, k_scale=ks, v_scale=vs,
+                            interpret=True)
+    # int8 KV keeps attention outputs close to full precision
+    np.testing.assert_allclose(
+        np.asarray(out_q), np.asarray(ref_f32), atol=0.08, rtol=0.1
+    )
+    # and the quantized kernel matches its own quantized reference tightly
+    ref_q = paged_attention_reference(q, kq, vq, bt, lens,
+                                      k_scale=ks, v_scale=vs)
+    np.testing.assert_allclose(
+        np.asarray(out_q), np.asarray(ref_q), atol=2e-3, rtol=1e-2
+    )
+
+
+def test_fused_update_int8_writes_and_attends_in_place():
+    rng = np.random.default_rng(2)
+    kf = jnp.asarray(rng.standard_normal((KV, N, P, HD)), jnp.float32)
+    vf = jnp.asarray(rng.standard_normal((KV, N, P, HD)), jnp.float32)
+    kq, vq, ks, vs = _quantize_pools(kf, vf, margin=1.5)
+    q = jnp.asarray(rng.standard_normal((B, H, HD)), jnp.float32)
+    nk = jnp.asarray(rng.standard_normal((B, KV, HD)), jnp.float32)
+    nv = jnp.asarray(rng.standard_normal((B, KV, HD)), jnp.float32)
+    bt = jnp.asarray(
+        rng.choice(np.arange(1, N), size=(B, MP), replace=False), jnp.int32
+    )
+    lens = jnp.asarray([P + 1, 2 * P], jnp.int32)  # incl. current token
+
+    out, kq2, vq2 = paged_attention_update(
+        q, nk, nv, kq, vq, bt, lens, k_scale=ks, v_scale=vs, interpret=True
+    )
+    assert kq2.dtype == jnp.int8
+    # the written rows round-trip through int8 with per-head scale error
+    for b in range(B):
+        pos = int(lens[b]) - 1
+        page = int(bt[b, pos // P])
+        off = pos % P
+        got_k = np.asarray(kq2[:, page, off]).astype(np.float32) \
+            * np.asarray(ks)[:, None]
+        np.testing.assert_allclose(got_k, np.asarray(nk[b]), atol=0.06)
+    # attention over (quantized pools + quantized new rows) matches the
+    # dense reference over the SAME post-write pools exactly-ish
+    ref = paged_attention_reference(q, kq2, vq2, bt, lens,
+                                    k_scale=ks, v_scale=vs)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=2e-3, rtol=1e-2
+    )
+
+
+def test_chunk_attention_int8_matches_reference():
+    rng = np.random.default_rng(3)
+    C = P
+    kf = jnp.asarray(rng.standard_normal((KV, N, P, HD)), jnp.float32)
+    vf = jnp.asarray(rng.standard_normal((KV, N, P, HD)), jnp.float32)
+    kq, vq, ks, vs = _quantize_pools(kf, vf)
+    q = jnp.asarray(rng.standard_normal((B, C, H, HD)), jnp.float32)
+    bt = jnp.asarray(
+        rng.choice(np.arange(1, N), size=(B, MP), replace=False), jnp.int32
+    )
+    starts = jnp.asarray([0, P], jnp.int32)
+    lens = jnp.asarray([C, P + C], jnp.int32)
+    out = paged_chunk_attention(q, kq, vq, bt, starts, lens,
+                                k_scale=ks, v_scale=vs, interpret=True)
+    ref = paged_chunk_attention_reference(q, kq, vq, bt, starts, lens,
+                                          k_scale=ks, v_scale=vs)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=2e-3, rtol=1e-2
+    )
+
+
+def test_writers_quantize_into_int8_pools():
+    rng = np.random.default_rng(4)
+    cfg = CacheConfig(num_pages=N, page_size=P, max_pages_per_seq=MP,
+                      dtype=jnp.int8)
+    cache = init_cache(TINY_TEST, cfg)
+    assert cache["k"][0].dtype == jnp.int8
+    assert len(cache["ks"]) == TINY_TEST.n_layers
+    ks, vs = cache["ks"][0], cache["vs"][0]
+
+    k_new = jnp.asarray(
+        rng.standard_normal((1, P, TINY_TEST.n_kv_heads, TINY_TEST.head_dim)),
+        jnp.float32) * 0.05        # well inside the default 1/16 scale
+    v_new = jnp.asarray(
+        rng.standard_normal((1, P, TINY_TEST.n_kv_heads, TINY_TEST.head_dim)),
+        jnp.float32) * 0.05
+    bt = jnp.asarray([[3]], jnp.int32)
+    kp, vp = write_prefill_pages(cache["k"][0], cache["v"][0], k_new, v_new,
+                                 bt, k_scale=ks, v_scale=vs)
+    assert kp.dtype == jnp.int8
+    back = np.asarray(kp[:, 3]).astype(np.float32) \
+        * np.asarray(ks)[:, None, None]
+    want = np.asarray(k_new[0]).transpose(1, 0, 2)
+    np.testing.assert_allclose(back, want, atol=float(ks[0]) * 0.51)
+
+    # decode writer
+    nk = jnp.asarray(rng.standard_normal(
+        (1, TINY_TEST.n_kv_heads, TINY_TEST.head_dim)), jnp.float32) * 0.05
+    kp2, vp2 = write_decode_token(
+        kp, vp, nk, nk, jnp.asarray([[3]], jnp.int32),
+        jnp.asarray([5], jnp.int32), k_scale=ks, v_scale=vs)
+    back2 = np.asarray(kp2[:, 3, 5]).astype(np.float32) \
+        * np.asarray(ks)[:, None]
+    np.testing.assert_allclose(back2, np.asarray(nk[0]),
+                               atol=float(ks[0]) * 0.51)
+
+
+def test_calibration_scales_cover_observed_kv():
+    from deepvision_tpu.engine.model import calibrate_kv_scales
+    from deepvision_tpu.engine.weights import init_params
+
+    params = init_params(TINY_TEST, seed=0)
+    toks = jnp.asarray(np.arange(2 * 64).reshape(2, 64) % 200, jnp.int32)
+    ks, vs = calibrate_kv_scales(params, toks, cfg=TINY_TEST)
+    assert ks.shape == (TINY_TEST.n_layers, TINY_TEST.n_kv_heads)
+    assert vs.shape == ks.shape
+    assert float(jnp.min(ks)) > 0 and float(jnp.min(vs)) > 0
+    # margin 1.25 means the calibration inputs themselves never clip
+    assert float(jnp.max(ks)) < 1.0  # sane magnitude for RMS-normed heads
+
+
+def test_engine_generates_with_int8_kv_pages():
+    """End-to-end: greedy decode with int8 KV pools produces the same
+    tokens as bf16 pools on a tiny model (interpret mode) — the
+    distribution shift from int8 KV must not change argmax on short
+    JSON-ish continuations."""
+    from deepvision_tpu.engine.engine import EngineConfig, LLMEngine
+
+    def run(kv_quantize):
+        eng = LLMEngine(EngineConfig(
+            model="dv-tiny-test", tokenizer="byte", max_slots=2,
+            num_pages=64, page_size=16, max_pages_per_seq=8,
+            chunked_prefill=True, prefill_chunk_size=16,
+            interpret=True, seed=0, kv_quantize=kv_quantize))
+        try:
+            text, meta = eng.generate_text(
+                "访谈主题：库存系统。请生成下一个访谈问题：",
+                max_tokens=12, temperature=0.0, timeout=300)
+            return text
+        finally:
+            eng.shutdown()
+
+    t_bf16 = run("")
+    t_int8 = run("int8")
+    assert isinstance(t_int8, str) and len(t_int8) > 0
+    # random tiny weights make argmax fragile; require exact match only on
+    # the first tokens, then just non-degeneracy
+    assert t_int8[:4] == t_bf16[:4], (t_bf16, t_int8)
+
+
+def test_int8_cache_halves_hbm_bytes():
+    from deepvision_tpu.engine.kv_cache import cache_hbm_bytes
+
+    bf16 = CacheConfig(num_pages=N, page_size=P, dtype=jnp.bfloat16)
+    int8 = CacheConfig(num_pages=N, page_size=P, dtype=jnp.int8)
+    assert cache_hbm_bytes(TINY_TEST, int8) * 2 == \
+        cache_hbm_bytes(TINY_TEST, bf16)
