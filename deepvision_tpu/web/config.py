@@ -42,6 +42,11 @@ ENGINE_PREFILL_CHUNK_SIZE = 256
 # Weight-only int8 serving quantization ("int8" | "").  Halves decode's
 # HBM parameter stream (engine/quant.py); parity pinned by tests.
 ENGINE_QUANTIZE = ""
+# int8 KV page pools ("int8" | "").  Halves the decode kernel's dominant
+# HBM stream (KV page DMAs) and doubles sessions-per-chip; static
+# per-(layer, kv-head) scales calibrated at engine boot
+# (engine/kv_cache.py).  Off by default pending the on-chip quality A/B.
+ENGINE_KV_QUANTIZE = ""
 # Fuse wq|wk|wv and w_gate|w_up into single serving matmuls
 # (engine/fuse.py); single-device only, ignored under TP.  Default OFF:
 # measured within noise on-chip (PERF_NOTES round-3 fusion A/B) and a

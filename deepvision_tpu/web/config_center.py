@@ -89,6 +89,9 @@ DESCRIPTORS: List[SettingDescriptor] = [
     _d("ENGINE_QUANTIZE", "ai", "str",
        "推理权重量化（int8 仅权重量化，解码 HBM 流量减半；空=关闭）",
        requires_restart=True),
+    _d("ENGINE_KV_QUANTIZE", "ai", "str",
+       "KV 缓存页量化（int8：KV 页 DMA 流量减半、并发容量翻倍；空=关闭）",
+       requires_restart=True),
     _d("ENGINE_FUSE_PROJECTIONS", "ai", "bool",
        "融合投影矩阵（qkv/gate-up 单次矩阵乘，降低解码算子开销）",
        requires_restart=True),

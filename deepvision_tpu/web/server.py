@@ -272,6 +272,7 @@ class AppState:
                     prefill_chunk_size=cfg.get_int(
                         "ENGINE_PREFILL_CHUNK_SIZE", 256),
                     quantize=cfg.get_str("ENGINE_QUANTIZE", ""),
+                    kv_quantize=cfg.get_str("ENGINE_KV_QUANTIZE", ""),
                     fuse_projections=cfg.get_bool(
                         "ENGINE_FUSE_PROJECTIONS", False),
                     warmup=cfg.get_bool(
