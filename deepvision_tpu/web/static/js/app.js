@@ -130,10 +130,28 @@
     return views[name] ? { name, arg } : null;
   }
 
+  // ---- theme (tokens swap via html[data-theme]; persisted) ----------
+  function applyTheme(theme) {
+    if (theme === "dark") {
+      document.documentElement.setAttribute("data-theme", "dark");
+    } else {
+      document.documentElement.removeAttribute("data-theme");
+    }
+  }
+  function toggleTheme() {
+    const next = document.documentElement.getAttribute("data-theme") ===
+      "dark" ? "" : "dark";
+    applyTheme(next);
+    try { localStorage.setItem("dv-theme", next); } catch (e) { /* ok */ }
+  }
+
   async function boot() {
     document.querySelectorAll("nav.tabs button").forEach((b) => {
       b.onclick = () => show(b.dataset.view);
     });
+    try { applyTheme(localStorage.getItem("dv-theme")); } catch (e) { /* */ }
+    const themeBtn = document.getElementById("theme-toggle");
+    if (themeBtn) themeBtn.onclick = toggleTheme;
     await refreshUser();
     window.addEventListener("hashchange", () => {
       if (suppressHash) { suppressHash = false; return; }

@@ -645,3 +645,55 @@ def test_solution_scroll_spy_executes_in_ci(client):
     assert len(active) == 1
     assert active[0].attrs.get("data-target") == target.attrs.get("id")
     assert not sol.errors(), sol.errors()
+
+
+# ---------------------------------------------------------------------------
+# help / intro pages + theme system (round 4; reference help.html:1,
+# intro.html:1)
+# ---------------------------------------------------------------------------
+
+def test_help_page_serves_with_core_sections(client):
+    resp = client.open("/help.html")
+    assert resp.status_code == 200
+    html = resp.data.decode("utf-8")
+    for needle in ("快速开始", "访谈模式", "报告与导出", "常见问题",
+                   "账号等级与授权", "IntersectionObserver",
+                   'data-theme="dark"'):
+        assert needle in html, needle
+
+
+def test_intro_page_serves_with_feature_grid(client):
+    resp = client.open("/intro.html")
+    assert resp.status_code == 200
+    html = resp.data.decode("utf-8")
+    for needle in ("开始访谈", "结构化追问", "本地 TPU 推理", "方案页",
+                   "帮助文档", "五步完成一次调研"):
+        assert needle in html, needle
+
+
+def test_help_inline_script_parses_and_runs_scroll_spy():
+    """The help page's inline script must at least parse under minijs;
+    its scroll-spy mirrors the solution page pattern."""
+    import re as _re
+
+    path = os.path.join(os.path.dirname(JS_DIR), "help.html")
+    with open(path, encoding="utf-8") as fh:
+        html = fh.read()
+    m = _re.search(r"<script>(.*?)</script>", html, _re.S)
+    assert m, "help.html must carry its scroll-spy script"
+    parse(m.group(1), "help-inline.js")
+
+
+def test_app_topbar_links_help_and_theme_toggle(client):
+    page = page_for(client)
+    assert page.maybe("#theme-toggle") is not None
+    link = page.document.query(".tab-link")
+    assert link is not None and link.attrs.get("href") == "/help.html"
+    # toggle flips the html data-theme token set and persists
+    page.click("#theme-toggle")
+    root = page.document.props.get("documentElement") \
+        if hasattr(page.document, "props") else None
+    theme = page._ls_store.get("dv-theme")
+    assert theme == "dark", page._ls_store
+    page.click("#theme-toggle")
+    assert page._ls_store.get("dv-theme") == ""
