@@ -65,7 +65,8 @@ def report_prompt(i: int) -> str:
         f"企业客户关系管理系统（事业部{i}）", facts)
 
 
-def _bench_questions(engine, n_sessions, n_threads, max_tokens):
+def _bench_questions(engine, n_sessions, n_threads, max_tokens,
+                     key_prefix="bench-sess"):
     """Two questions per session under one prefix_key: round 1 prefills
     the shared prompt head cold, round 2 must hit the radix prefix cache
     — the cold/warm TTFT split is reported separately so the prefix
@@ -82,7 +83,7 @@ def _bench_questions(engine, n_sessions, n_threads, max_tokens):
                 _, meta = engine.generate_text(
                     question_prompt(i, round_no),
                     max_tokens=max_tokens, temperature=0.7, top_k=40,
-                    timeout=600, prefix_key=f"bench-sess-{i}",
+                    timeout=600, prefix_key=f"{key_prefix}-{i}",
                     json_mode=True,
                 )
                 with lock:
@@ -179,26 +180,36 @@ def _model_param_count(mc) -> int:
     return mc.n_layers * (attn + mlp + 2 * mc.d_model) + embed + mc.d_model
 
 
-def _bench_scale(pipeline, chain, quantize=""):
+def _bench_scale(pipeline, chain, quantize="", kv_quantize="",
+                 decode_steps=8, page_size=64):
     """dv-1b scale datum (VERDICT r2 #5): decode ms/token-step and
     prefill latency on the 1.1B-class preset (random weights — this
     measures the serving stack at scale, not model quality), plus
     honest roofline accounting: decode %-of-HBM-roofline and prefill
-    MFU against v5e peaks.  ``quantize="int8"`` reruns the same stack
-    with weight-only int8 (engine/quant.py): decode is params-streaming
-    bound, so the floor halves — the A/B shows how much of that the
-    fused convert-in-matmul path actually collects."""
+    MFU against v5e peaks.
+
+    The decode burst runs TWICE: the first pass flushes any program that
+    warmup didn't cover (round-3's int8 section compiled inside the
+    measured window — its 73 s request wall vs 40 s bf16 was cold XLA,
+    not serving; VERDICT weak #4), the second is the steady-state
+    record.  Both walls are reported.
+
+    ``quantize``/``kv_quantize``/``decode_steps``/``page_size`` pick the
+    measured deployment: the int8 section runs the TUNED config the
+    kernel work actually shipped (K=32, page 128, int8 weights + int8 KV
+    pages) instead of the default-config stack (VERDICT weak #5)."""
     from deepvision_tpu.engine.config import get_model_config
     from deepvision_tpu.engine.engine import EngineConfig, LLMEngine
 
     B = 8
     cfg = EngineConfig(
         model="dv-1b", tokenizer="byte", max_slots=B,
-        num_pages=1024, page_size=64, max_pages_per_seq=32,
-        decode_steps_per_call=8, pipeline_decode=pipeline,
+        num_pages=1024, page_size=page_size,
+        max_pages_per_seq=max(8, 2048 // page_size),
+        decode_steps_per_call=decode_steps, pipeline_decode=pipeline,
         max_chained_decodes=chain, chunked_prefill=True,
         prefill_chunk_size=256, interpret=False, warmup=True,
-        quantize=quantize,
+        quantize=quantize, kv_quantize=kv_quantize,
     )
     t0 = time.time()
     eng = LLMEngine(cfg)
@@ -219,58 +230,72 @@ def _bench_scale(pipeline, chain, quantize=""):
     prompt_tokens = meta["prompt_tokens"]
 
     # decode: B concurrent sequences, 256 tokens each
-    done, errors = [], []
+    errors = []
     lock = threading.Lock()
 
-    def worker(i):
-        try:
-            _, m = eng.generate_text(
-                prompt + f"(任务{i})", max_tokens=256, temperature=0.7,
-                top_k=40, timeout=900)
-            with lock:
-                done.append(m["completion_tokens"])
-        except Exception as e:  # noqa: BLE001
-            with lock:
-                errors.append(f"{type(e).__name__}: {e}")
+    def burst(tag):
+        done = []
 
-    s0 = eng.stats()
-    t0 = time.time()
-    threads = [threading.Thread(target=worker, args=(i,)) for i in range(B)]
-    for t in threads:
-        t.start()
-    for t in threads:
-        t.join()
-    wall = time.time() - t0
-    s1 = eng.stats()
-    steps = s1["decode_steps"] - s0["decode_steps"]
-    # pure decode dispatch+readback time (scheduler decode_time_s);
-    # wall/steps would blame prefill + admission on the decode step
-    decode_s = s1["decode_time_s"] - s0["decode_time_s"]
+        def worker(i):
+            try:
+                _, m = eng.generate_text(
+                    prompt + f"(任务{tag}{i})", max_tokens=256,
+                    temperature=0.7, top_k=40, timeout=900)
+                with lock:
+                    done.append(m["completion_tokens"])
+            except Exception as e:  # noqa: BLE001
+                with lock:
+                    errors.append(f"{type(e).__name__}: {e}")
+
+        s0 = eng.stats()
+        t0 = time.time()
+        threads = [threading.Thread(target=worker, args=(i,))
+                   for i in range(B)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        wall = time.time() - t0
+        s1 = eng.stats()
+        steps = s1["decode_steps"] - s0["decode_steps"]
+        # pure decode dispatch+readback time (scheduler decode_time_s);
+        # wall/steps would blame prefill + admission on the decode step
+        decode_s = s1["decode_time_s"] - s0["decode_time_s"]
+        return wall, steps, decode_s, sum(done)
+
+    wall_cold, _, _, _ = burst("冷")
+    wall, steps, decode_s, tokens = burst("")
     eng.shutdown()
-    tokens = sum(done)
     tok_s = tokens / wall if wall > 0 else 0.0
     step_ms = (decode_s * 1e3 / steps) if steps else -1.0
 
     # roofline: each decode step streams all params (bf16, or int8+scales
     # under weight-only quantization — embed stays bf16) + the live KV
-    # pages for B sequences from HBM
+    # pages for B sequences from HBM (halved again by int8 KV pages)
     if quantize == "int8":
         embed_params = mc.vocab_size * mc.d_model
         param_bytes = (n_params - embed_params) * 1 + embed_params * 2
     else:
         param_bytes = 2 * n_params
-    kv_bytes = B * (ctx_tokens + 128) * mc.kv_bytes_per_token_bf16
+    kv_per_tok = mc.kv_bytes_per_token_bf16
+    if kv_quantize == "int8":
+        kv_per_tok //= 2
+    kv_bytes = B * (ctx_tokens + 128) * kv_per_tok
     step_floor_ms = (param_bytes + kv_bytes) / V5E_HBM_BYTES_PER_S * 1e3
     prefill_flops = 2 * n_params * prompt_tokens
     prefill_mfu = (prefill_flops / (prefill_ms / 1e3) / V5E_BF16_FLOPS
                    if prefill_ms > 0 else 0.0)
     return {
         "model": "dv-1b" + ("-int8" if quantize == "int8" else ""),
+        "config": {"K": decode_steps, "page_size": page_size,
+                   "quantize": quantize or "bf16",
+                   "kv_quantize": kv_quantize or "bf16"},
         "params_m": round(n_params / 1e6, 1),
         "decode_slots": B,
         "decode_ms_per_step": round(step_ms, 2),
         "decode_tokens_per_s": round(tok_s, 1),
         "request_wall_s": round(wall, 2),
+        "request_wall_cold_s": round(wall_cold, 2),
         "decode_hbm_floor_ms": round(step_floor_ms, 2),
         "decode_roofline_frac": round(step_floor_ms / step_ms, 3)
         if step_ms > 0 else 0.0,
@@ -388,6 +413,16 @@ def main():
         t.join()
     compile_s = time.time() - t0
 
+    # Unmeasured pre-burst: flush any program the boot warmup did not
+    # cover (mixed-size admission batches, json DFA decode) so the
+    # measured window contains serving, not XLA — compile cost is
+    # reported separately as compile_s (round-3's driver run lost half
+    # its req/min to in-window compiles; VERDICT weak #1).
+    t0 = time.time()
+    _bench_questions(engine_q, min(6, n_sessions), min(6, n_threads),
+                     min(16, q_tokens), key_prefix="prewarm")
+    compile_s += time.time() - t0
+
     ttfts, totals, q_errors, q_wall, ttfts_by_round = _bench_questions(
         engine_q, n_sessions, n_threads, q_tokens)
     q_stats = engine_q.stats()
@@ -433,7 +468,12 @@ def main():
             scale = {"error": f"{type(e).__name__}: {e}"}
         if os.environ.get("DV_BENCH_1B_INT8", "1") == "1":
             try:
-                scale_int8 = _bench_scale(pipeline, chain, quantize="int8")
+                # the TUNED deployment config the kernel work shipped:
+                # K=32 decode window, 128-token pages, int8 weights AND
+                # int8 KV pages (PERF_NOTES deployment guidance)
+                scale_int8 = _bench_scale(
+                    pipeline, chain, quantize="int8", kv_quantize="int8",
+                    decode_steps=32, page_size=128)
             except Exception as e:  # noqa: BLE001
                 scale_int8 = {"error": f"{type(e).__name__}: {e}"}
 
