@@ -115,11 +115,17 @@ class Request:
     def get_json(self, silent: bool = True) -> Any:
         if self._json is None:
             try:
-                self._json = json.loads(self.body.decode("utf-8"))
+                parsed = json.loads(self.body.decode("utf-8"))
             except Exception:
                 if not silent:
                     raise
-                self._json = {}
+                parsed = {}
+            # every API body is a JSON object; a top-level null/list/
+            # scalar reaching route `.get(...)` calls was a 500 (found by
+            # the round-4 hardening sweep) — treat it as an empty body
+            if not isinstance(parsed, dict):
+                parsed = {}
+            self._json = parsed
         return self._json
 
     @property

@@ -37,6 +37,10 @@ def register(app, state):
         desc = (req.get_json().get("description") or "").strip()
         if len(desc) < 4:
             raise HTTPError(400, {"error": "请至少输入 4 个字的业务描述"})
+        if len(desc) > 4000:
+            # abuse guard (round-4 hardening sweep): an unbounded
+            # description goes straight into an AI prompt
+            raise HTTPError(400, {"error": "业务描述过长（上限 4000 字）"})
         scenario = generate_scenario_from_description(state.gateway, desc)
         return {"ok": True, "scenario": scenario}
 
