@@ -966,3 +966,10 @@ def test_agent_history_and_ci_summary_read_artifacts():
     r3 = run_script("agent_ci_summary.py")
     assert r3.returncode == 0
     assert "Bench" in r3.stdout
+
+
+def test_agent_guardrails_list():
+    r = run_script("agent_guardrails.py", "--list")
+    assert r.returncode == 0
+    assert "test_guard_matrix" in r.stdout
+    assert "IDOR" in r.stdout
