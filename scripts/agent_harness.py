@@ -33,7 +33,7 @@ PROFILES = {
                     "--no-header"]),
         ("scenarios", [sys.executable, os.path.join(
             ROOT, "scripts", "agent_eval.py")]),
-        ("guardrails", [sys.executable, os.path.join(
+        ("static-guardrails", [sys.executable, os.path.join(
             ROOT, "scripts", "agent_static_guardrails.py")]),
         ("browser-smoke", [sys.executable, os.path.join(
             ROOT, "scripts", "agent_browser_smoke.py")]),
