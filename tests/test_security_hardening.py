@@ -13,9 +13,8 @@ import pytest
 
 from deepvision_tpu.web.server import create_app
 
-# fast main-path tier: scripts/agent_smoke.py runs `pytest -m smoke`
-pytestmark = pytest.mark.smoke
-
+# NOT in the smoke tier: the IDOR/report flows here cost ~40s — the
+# invariant gate (scripts/agent_guardrails.py) and the full suite run it
 ADMIN_PHONE = "13800000001"
 
 
