@@ -228,3 +228,60 @@ def test_int8_cache_halves_hbm_bytes():
     int8 = CacheConfig(num_pages=N, page_size=P, dtype=jnp.int8)
     assert cache_hbm_bytes(TINY_TEST, int8) * 2 == \
         cache_hbm_bytes(TINY_TEST, bf16)
+
+
+def test_prefix_cache_shares_int8_pages_correctly():
+    """Radix prefix reuse over QUANTIZED pools: a warm resume must decode
+    the same greedy tokens as a cold run — shared pages carry int8 rows
+    whose static scales are global, so reuse is exact."""
+    from deepvision_tpu.engine.engine import EngineConfig, LLMEngine
+
+    eng = LLMEngine(EngineConfig(
+        model="dv-tiny-test", tokenizer="byte", max_slots=2,
+        num_pages=96, page_size=16, max_pages_per_seq=16,
+        chunked_prefill=True, prefill_chunk_size=16,
+        interpret=True, seed=0, kv_quantize="int8"))
+    try:
+        head = "共享的系统提示头部 " * 6
+        p2 = head + "第二个不同的问题"
+        eng.generate_text(head + "第一个问题", max_tokens=6,
+                          temperature=0.0, timeout=300, prefix_key="s")
+        warm, _ = eng.generate_text(p2, max_tokens=6, temperature=0.0,
+                                    timeout=300, prefix_key="s")
+        stats = eng.scheduler.prefix_cache.stats()
+        assert stats["hits"] >= 1 and stats["tokens_saved"] > 0, stats
+        cold, _ = eng.generate_text(p2, max_tokens=6, temperature=0.0,
+                                    timeout=300, prefix_key=None)
+        assert warm == cold
+    finally:
+        eng.shutdown()
+
+
+def test_admission_evicts_prefix_cache_under_kv_pressure():
+    """When live requests need pages the cold cache holds, admission
+    evicts LRU prefix chains instead of rejecting (scheduler._admit
+    back-pressure path) — and generation still completes."""
+    from deepvision_tpu.engine.engine import EngineConfig, LLMEngine
+
+    eng = LLMEngine(EngineConfig(
+        model="dv-tiny-test", tokenizer="byte", max_slots=1,
+        num_pages=14, page_size=16, max_pages_per_seq=8,
+        chunked_prefill=True, prefill_chunk_size=16,
+        interpret=True, seed=0))
+    try:
+        # distinct long prompts fill the 13-page pool with cached chains
+        for i in range(3):
+            eng.generate_text(f"会话{i}" + "长提示内容填充 " * 10,
+                              max_tokens=4, temperature=0.0,
+                              timeout=300, prefix_key=f"p{i}")
+        pages_cached = eng.scheduler.prefix_cache.stats()["pages"]
+        assert pages_cached > 0
+        # a request needing more pages than remain free must evict, not fail
+        text, meta = eng.generate_text(
+            "新会话" + "需要大量页面的长提示 " * 12, max_tokens=4,
+            temperature=0.0, timeout=300, prefix_key="fresh")
+        assert meta["finish_reason"] in ("stop", "length")
+        assert eng.scheduler.prefix_cache.stats()["pages"] <= pages_cached \
+            or eng.allocator.available() >= 0
+    finally:
+        eng.shutdown()
