@@ -34,11 +34,11 @@ import zipfile
 # measures fiction (round-3 lesson: a trailing "(任务N)" suffix cut
 # dv-base drafts from ~900 tokens to ~84).
 
-def question_prompt(i: int, round_no: int) -> str:
+def question_prompt(i: int, round_no: int, tag: str = "") -> str:
     from deepvision_tpu.web.runtime.interview import build_interview_prompt
 
     session = {
-        "topic": f"企业客户关系管理系统需求调研（分部{i}）",
+        "topic": f"企业{tag}客户关系管理系统需求调研（分部{i}）",
         "description": "",
         "summary": "",
         "interview_log": [
@@ -66,7 +66,7 @@ def report_prompt(i: int) -> str:
 
 
 def _bench_questions(engine, n_sessions, n_threads, max_tokens,
-                     key_prefix="bench-sess"):
+                     key_prefix="bench-sess", topic_tag=""):
     """Two questions per session under one prefix_key: round 1 prefills
     the shared prompt head cold, round 2 must hit the radix prefix cache
     — the cold/warm TTFT split is reported separately so the prefix
@@ -81,7 +81,7 @@ def _bench_questions(engine, n_sessions, n_threads, max_tokens,
             for round_no in (1, 2):
                 t0 = time.time()
                 _, meta = engine.generate_text(
-                    question_prompt(i, round_no),
+                    question_prompt(i, round_no, topic_tag),
                     max_tokens=max_tokens, temperature=0.7, top_k=40,
                     timeout=600, prefix_key=f"{key_prefix}-{i}",
                     json_mode=True,
@@ -419,8 +419,12 @@ def main():
     # reported separately as compile_s (round-3's driver run lost half
     # its req/min to in-window compiles; VERDICT weak #1).
     t0 = time.time()
+    # distinct topics AND keys: the radix cache matches by token content,
+    # so prewarm prompts must not share heads with measured sessions or
+    # the measured "cold" round would hit a cache prewarm seeded
     _bench_questions(engine_q, min(6, n_sessions), min(6, n_threads),
-                     min(16, q_tokens), key_prefix="prewarm")
+                     min(16, q_tokens), key_prefix="prewarm",
+                     topic_tag="预热")
     compile_s += time.time() - t0
 
     ttfts, totals, q_errors, q_wall, ttfts_by_round = _bench_questions(

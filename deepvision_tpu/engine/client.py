@@ -157,18 +157,45 @@ class ModelGateway:
         them (LLMEngine.embed_texts — the serving params double as the
         encoder).  Returns an [N, d] array or None when no engine can
         embed (template backend, quantized/fused params): callers fall
-        back to keyword-only retrieval."""
-        for engine in self.engines.values():
-            fn = getattr(engine, "embed_texts", None)
-            if fn is None:
-                continue
-            try:
-                out = fn(texts)
-            except Exception:  # noqa: BLE001 — retrieval must degrade
-                continue
-            if out is not None:
-                return out
-        return None
+        back to keyword-only retrieval.
+
+        Chunk embeddings are immutable per text, and chat re-ranks the
+        SAME session chunks every message — an LRU keyed by text caches
+        them so a repeat call embeds only the novel texts (usually just
+        the query)."""
+        if not hasattr(self, "_embed_cache"):
+            from collections import OrderedDict
+
+            self._embed_cache = OrderedDict()
+        cache = self._embed_cache
+        missing = [t for t in dict.fromkeys(texts) if t not in cache]
+        if missing:
+            fresh = None
+            for engine in self.engines.values():
+                fn = getattr(engine, "embed_texts", None)
+                if fn is None:
+                    continue
+                try:
+                    fresh = fn(missing)
+                except Exception:  # noqa: BLE001 — retrieval must degrade
+                    continue
+                if fresh is not None:
+                    break
+            if fresh is None:
+                return None
+            for t, vec in zip(missing, fresh):
+                cache[t] = vec
+            while len(cache) > 512:
+                cache.popitem(last=False)
+        try:
+            import numpy as np
+
+            rows = [cache[t] for t in texts]
+        except KeyError:
+            return None
+        for t in texts:
+            cache.move_to_end(t, last=True)
+        return np.stack(rows)
 
     # ------------------------------------------------------------------
 

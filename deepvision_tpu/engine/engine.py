@@ -261,10 +261,18 @@ class LLMEngine:
                 # ... and the batched admission path at EVERY pow2 B the
                 # scheduler can form (burst admissions pad to pow2; a B=2
                 # batch compiling inside a measured window cost round-3
-                # tens of seconds of "unattributed" wall — VERDICT weak #4)
+                # tens of seconds of "unattributed" wall — VERDICT weak #4).
+                # The scheduler admits up to max(prefill_batch_max,
+                # prefills_per_step) fresh prompts, which prefill_batch
+                # pads UP to a pow2 — warm through that ceiling, not just
+                # pow2s <= the cap (a cap of 6 pads to 8).
+                limit = max(self.cfg.prefill_batch_max,
+                            self.cfg.prefills_per_step)
                 b = 1
-                while b <= self.cfg.prefill_batch_max:
+                while True:
                     runner.prefill_batch([[1] * n] * b, [pages] * b)
+                    if b >= limit:
+                        break
                     b *= 2
             finally:
                 alloc.free(pages)

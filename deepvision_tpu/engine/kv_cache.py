@@ -95,19 +95,17 @@ def quantize_rows(x: jax.Array, scale: jax.Array, kv_axis: int) -> jax.Array:
     """Symmetric int8 quantization of K/V rows with a per-kv-head scale.
 
     ``x``: float rows with the kv-head axis at ``kv_axis``;
-    ``scale``: [KV] float32.  Returns int8 of the same shape."""
+    ``scale``: [KV] float32.  Returns int8 of the same shape.
+    Already-int8 rows pass through untouched (a caller may have
+    quantized upstream — e.g. paged_attention_update's sub-128-head-dim
+    fallback hands pre-quantized rows to write_decode_token)."""
+    if x.dtype == jnp.int8:
+        return x
     shape = [1] * x.ndim
     shape[kv_axis] = -1
     s = scale.reshape(shape)
     q = jnp.round(x.astype(jnp.float32) / s)
     return jnp.clip(q, -127.0, 127.0).astype(jnp.int8)
-
-
-def maybe_quantize(x, pages, scale):
-    """Quantize ``x`` (kv axis = -2) iff the target pool is int8."""
-    if pages.dtype == jnp.int8:
-        return quantize_rows(x, scale, x.ndim - 2)
-    return x
 
 
 def cache_hbm_bytes(model: ModelConfig, cache: CacheConfig) -> int:

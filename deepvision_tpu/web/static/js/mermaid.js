@@ -61,6 +61,9 @@
       var line = lines[i].trim();
       if (!line || /^%%/.test(line)) continue;
       if (/^(subgraph|end|classDef|class|style|click)\b/.test(line)) continue;
+      // normalize the "A -- label --> B" edge-label form to "-->|label|"
+      // so one split grammar handles both label syntaxes
+      line = line.replace(/--\s+([^-|>][^-]*?)\s+-->/g, "-->|$1| ");
       // split the chain on arrows, keeping labels: A -->|ok| B --> C
       var parts = line.split(/\s*(-{2,3}>|={2,3}>|-\.->|-{3})\s*/);
       if (parts.length === 1) { parseNodeRef(line, nodes); pushOrder(line); continue; }

@@ -97,3 +97,38 @@ def test_gateway_embed_texts_none_without_engine_support():
 
     gw = ModelGateway(engines={})          # template-only deployment
     assert gw.embed_texts(["x"]) is None
+
+
+def test_gateway_embed_cache_skips_reembedding():
+    """Chunk embeddings are cached by text: a second ranking call over
+    the same chunks embeds only the novel query."""
+    from deepvision_tpu.engine.client import ModelGateway
+
+    calls = []
+
+    class FakeEngine:
+        def embed_texts(self, texts):
+            calls.append(list(texts))
+            return np.asarray([[1.0, 0.0]] * len(texts), np.float32)
+
+    gw = ModelGateway(engines={"e": FakeEngine()})
+    out1 = gw.embed_texts(["块一", "块二", "查询A"])
+    assert out1.shape == (3, 2)
+    assert calls == [["块一", "块二", "查询A"]]
+    out2 = gw.embed_texts(["块一", "块二", "查询B"])
+    assert out2.shape == (3, 2)
+    assert calls[1] == ["查询B"]          # only the novel text embedded
+
+
+def test_quantize_rows_passes_through_already_int8():
+    """The sub-128-head-dim decode fallback hands pre-quantized rows to
+    write_decode_token — re-quantizing them (or touching a None scale)
+    was a crash+corruption path (round-4 review finding)."""
+    import jax.numpy as jnp
+
+    from deepvision_tpu.engine.kv_cache import quantize_rows
+
+    q = jnp.asarray([[1, -2], [3, 4]], jnp.int8)
+    out = quantize_rows(q, None, 0)       # None scale must be untouched
+    assert out.dtype == jnp.int8
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(q))

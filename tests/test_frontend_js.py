@@ -255,6 +255,9 @@ MERMAID_CASES = {
     "flowchart_labels": ("flowchart LR\\n    A[提出] -->|评审通过| B[排期]"
                          " --> C{开发} --> D((上线))",
                          ["<svg", "评审通过", "polygon", "circle"]),
+    "flowchart_dash_label": ("flowchart LR\\n    A[受理] -- 审核通过 --> "
+                             "B[放款]",
+                             ["<svg", "受理", "放款", "审核通过"]),
     "pie": ('pie title 诉求分布\\n    \\"流程类\\" : 40\\n'
             '    \\"数据类\\" : 35\\n    \\"体验类\\" : 25',
             ["<svg", "诉求分布", "流程类 (40)", "%"]),
