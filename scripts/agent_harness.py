@@ -33,6 +33,11 @@ PROFILES = {
                     "--no-header"]),
         ("scenarios", [sys.executable, os.path.join(
             ROOT, "scripts", "agent_eval.py")]),
+        # committed generation-quality artifact must stay above the
+        # schema-validity floor (skips when no EVAL_r*.json exists yet)
+        ("generation-quality", [sys.executable, os.path.join(
+            ROOT, "scripts", "eval_generation_quality.py"),
+            "--gate", "EVAL_r04.json", "--min-schema-valid", "90"]),
         ("static-guardrails", [sys.executable, os.path.join(
             ROOT, "scripts", "agent_static_guardrails.py")]),
         ("browser-smoke", [sys.executable, os.path.join(

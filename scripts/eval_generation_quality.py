@@ -233,6 +233,9 @@ def run_model(model, lane, n, max_tokens):
 
 
 def gate(path, min_schema_valid):
+    if not os.path.isfile(path):
+        print(f"GATE SKIP: no artifact at {path} (generate with --out)")
+        return 0
     with open(path, encoding="utf-8") as fh:
         data = json.load(fh)
     bad = []
