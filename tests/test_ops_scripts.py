@@ -973,3 +973,18 @@ def test_agent_guardrails_list():
     assert r.returncode == 0
     assert "test_guard_matrix" in r.stdout
     assert "IDOR" in r.stdout
+
+
+def test_agent_doc_gardener_clean_on_repo():
+    r = run_script("agent_doc_gardener.py")
+    assert r.returncode == 0, r.stdout
+    assert "0 errors" in r.stdout
+
+
+def test_agent_artifacts_list_and_dry_prune():
+    r = run_script("agent_artifacts.py", "list")
+    assert r.returncode == 0
+    r2 = run_script("agent_artifacts.py", "prune", "--keep", "1",
+                    "--dry-run")
+    assert r2.returncode == 0
+    assert "would prune" in r2.stdout
