@@ -346,6 +346,23 @@
         if (t) t.scrollIntoView({ behavior: "smooth", block: "start" });
       };
     });
+    // scroll-spy: highlight the chapter in view (same pattern as the
+    // solution page; executes in CI through the minijs IO shim)
+    if ("IntersectionObserver" in window) {
+      const links = Array.from(toc.querySelectorAll("a.toc-item"));
+      const byHref = {};
+      links.forEach((a) => { byHref[a.getAttribute("href")] = a; });
+      const io = new IntersectionObserver((entries) => {
+        entries.forEach((en) => {
+          const link = byHref["#" + en.target.id];
+          if (link && en.isIntersecting) {
+            links.forEach((l) => l.classList.remove("active"));
+            link.classList.add("active");
+          }
+        });
+      }, { rootMargin: "-15% 0px -75% 0px" });
+      heads.forEach((h) => io.observe(h));
+    }
   }
 
   function unmountDetail() {

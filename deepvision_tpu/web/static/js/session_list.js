@@ -47,8 +47,14 @@
           <button class="small" id="sl-batch-del"
             style="color:var(--err)">删除所选</button>
         </div>
-        <div id="session-table"><div class="thinking">
-          <div class="spinner"></div>加载中…</div></div>
+        <div id="session-table">
+          <div class="skeleton-row"><div class="skeleton"></div>
+            <div class="skeleton grow"></div><div class="skeleton"></div></div>
+          <div class="skeleton-row"><div class="skeleton"></div>
+            <div class="skeleton grow"></div><div class="skeleton"></div></div>
+          <div class="skeleton-row"><div class="skeleton"></div>
+            <div class="skeleton grow"></div><div class="skeleton"></div></div>
+        </div>
         <div class="pager" id="session-pager"></div>
       </div>`;
 

@@ -700,3 +700,24 @@ def test_app_topbar_links_help_and_theme_toggle(client):
     assert theme == "dark", page._ls_store
     page.click("#theme-toggle")
     assert page._ls_store.get("dv-theme") == ""
+
+
+def test_report_toc_scroll_spy_highlights_chapter(client):
+    """Report-detail TOC scroll-spy (round 4): observers register on the
+    rendered headings and intersection marks the matching TOC link."""
+    page = page_for(client)
+    login(page)
+    create_session(page)
+    _run_report_flow(client, page)
+    toc = page.maybe("#rd-toc")
+    assert toc is not None and toc.query_all("a.toc-item"), \
+        "report TOC must render for >=3 headings"
+    observed = [el for obs in page._intersection_observers
+                for el in obs.targets]
+    assert observed, "report scroll-spy registered no observers"
+    target = observed[-1]
+    page.fire_intersection(target)
+    active = [a for a in toc.query_all("a.toc-item")
+              if "active" in (a.attrs.get("class") or "")]
+    assert len(active) == 1
+    assert active[0].attrs.get("href") == "#" + target.attrs.get("id")
