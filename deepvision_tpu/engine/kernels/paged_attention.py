@@ -605,7 +605,13 @@ def paged_attention_update(
     nv4 = new_v.reshape(B, KV, 1, HD)
 
     if grid_mode == "b":
-        depth = 8  # DMA pipeline depth; VMEM cost 2*depth*P*HD*itemsize
+        # DMA pipeline depth; VMEM cost 2*depth*P*HD*itemsize.  8 measured
+        # best for bf16 pages (depth 16 regressed — queue contention past
+        # the latency product, PERF_NOTES r3); int8 pages halve each
+        # buffer, so the depth sweep is re-runnable via env for A/Bs.
+        import os
+
+        depth = int(os.environ.get("DV_PAGED_DMA_DEPTH", "8"))
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=6,
             grid=(B,),
