@@ -207,7 +207,7 @@ def score_reports(outs, q_ids_list):
     }
 
 
-def run_model(model, lane, n, max_tokens):
+def run_model(model, lane, n, max_tokens, kv_quantize=""):
     from deepvision_tpu.engine.engine import EngineConfig, LLMEngine
 
     ckpt = os.path.join(ROOT, "resources", "checkpoints", f"{model}.npz")
@@ -218,6 +218,7 @@ def run_model(model, lane, n, max_tokens):
         model=model, tokenizer=tok, checkpoint_dir=ckpt,
         max_slots=8, num_pages=2048, page_size=64, max_pages_per_seq=32,
         decode_steps_per_call=16, chunked_prefill=True, warmup=True,
+        kv_quantize=kv_quantize,
     ))
     eng.start()
     try:
@@ -259,6 +260,8 @@ def main():
                                         "dv-mini:question")
     ap.add_argument("--max-question-tokens", type=int, default=220)
     ap.add_argument("--max-report-tokens", type=int, default=1500)
+    ap.add_argument("--kv-quantize", default="",
+                    help="run the engines with int8 KV pages (quality A/B)")
     ap.add_argument("--gate", default="",
                     help="score an existing artifact instead of generating")
     ap.add_argument("--min-schema-valid", type=float, default=90.0)
@@ -277,7 +280,8 @@ def main():
         max_tokens = (args.max_report_tokens if lane == "report"
                       else args.max_question_tokens)
         print(f"[eval] {model} ({lane}) x {args.n} ...", flush=True)
-        results[model] = run_model(model, lane, args.n, max_tokens)
+        results[model] = run_model(model, lane, args.n, max_tokens,
+                                   kv_quantize=args.kv_quantize)
         print(json.dumps({model: results[model]}, ensure_ascii=False),
               flush=True)
     out = json.dumps(results, ensure_ascii=False, indent=1)
