@@ -139,17 +139,59 @@ def parse_structured_json_response(text: str) -> Optional[dict]:
 
 
 def repair_json_text(text: str) -> str:
-    """Deterministic JSON repairs: trailing commas, unbalanced braces,
-    truncated tail (reference JSON repair :21724)."""
-    s = re.sub(r",\s*([}\]])", r"\1", text)
-    opens = s.count("{") - s.count("}")
-    if opens > 0:
-        # truncate dangling partial value then close
-        s = re.sub(r",?\s*\"[^\"]*\"?\s*:?\s*\"?[^\"{}\[\]]*$", "", s)
-        s += "}" * opens
-    opens_sq = s.count("[") - s.count("]")
-    if opens_sq > 0:
-        s += "]" * opens_sq
+    """Deterministic JSON repairs: trailing commas, truncated tails,
+    unbalanced brackets (reference JSON repair :21724).
+
+    Round-4 rewrite after adversarial tests broke the regex version on
+    nested truncation (``{"a": {"b": "v``) and mid-array cutoffs: a
+    string-aware scan finds an unterminated string, truncates back to
+    its opening quote (plus any dangling ``"key":`` prefix), then closes
+    the still-open brackets in stack order — counting braces is wrong
+    when braces appear inside string values."""
+
+    def scan(s):
+        """(bracket stack, unterminated-string start or -1)."""
+        stack = []
+        in_str, esc, start = False, False, -1
+        for i, ch in enumerate(s):
+            if in_str:
+                if esc:
+                    esc = False
+                elif ch == "\\":
+                    esc = True
+                elif ch == '"':
+                    in_str = False
+                continue
+            if ch == '"':
+                in_str, start = True, i
+            elif ch in "{[":
+                stack.append(ch)
+            elif ch == "}":
+                if stack and stack[-1] == "{":
+                    stack.pop()
+            elif ch == "]":
+                if stack and stack[-1] == "[":
+                    stack.pop()
+        return stack, (start if in_str else -1)
+
+    s = text
+    stack, dangling = scan(s)
+    if dangling >= 0:
+        s = s[:dangling]
+        # a now-orphaned `"key":` (or partial bare token) before the cut
+        s = re.sub(r"[,\s]*\"[^\"]*\"\s*:\s*$", "", s)
+        s = re.sub(r"[,\s]*[\w.+-]*\s*$", "", s)
+        stack, _ = scan(s)
+    closers = {"{": "}", "[": "]"}
+    for opener in reversed(stack):
+        s = re.sub(r",\s*$", "", s)
+        # an object cut right after `"key":` (value never started)
+        if opener == "{":
+            s = re.sub(r"[,\s]*\"[^\"]*\"\s*:\s*$", "", s)
+            s = re.sub(r",\s*$", "", s)
+        s += closers[opener]
+    # trailing commas before closers (also covers the untruncated case)
+    s = re.sub(r",\s*([}\]])", r"\1", s)
     return s
 
 
