@@ -99,10 +99,15 @@ def render() -> str:
         for model, m in sorted(ev.items()):
             if not isinstance(m, dict) or "n" not in m:
                 continue
-            lines.append(
-                f"- `{model}`: schema-valid {m.get('schema_valid_pct')}%, "
-                f"sections {m.get('section_complete_pct')}%, refs-resolve "
-                f"{m.get('refs_resolve_pct')}% (n={m.get('n')})")
+            parts = [f"schema-valid {m.get('schema_valid_pct')}%"]
+            if m.get("section_complete_pct") is not None:
+                parts.append(f"sections {m['section_complete_pct']}%")
+            if m.get("refs_resolve_pct") is not None:
+                parts.append(f"refs-resolve {m['refs_resolve_pct']}%")
+            if m.get("distinct_question_pct") is not None:
+                parts.append(f"distinct {m['distinct_question_pct']}%")
+            lines.append(f"- `{model}`: " + ", ".join(parts)
+                         + f" (n={m.get('n')})")
         lines.append("")
 
     if len(lines) == 2:
