@@ -721,3 +721,108 @@ def test_report_toc_scroll_spy_highlights_chapter(client):
               if "active" in (a.attrs.get("class") or "")]
     assert len(active) == 1
     assert active[0].attrs.get("href") == "#" + target.attrs.get("id")
+
+
+# ---------------------------------------------------------------------------
+# interview side-paths: undo, docs modal (upload/delete), assistant chat
+# (round-4 coverage for UI paths no journey exercised)
+# ---------------------------------------------------------------------------
+
+def test_undo_answer_restores_previous_question(client):
+    page = page_for(client)
+    login(page)
+    create_session(page)
+    answer_question(page)
+    sid = page.location_href.split("#interview/")[1]
+    import urllib.parse
+    sid = urllib.parse.unquote(sid)
+    n_before = len(client.app.state.sessions.load(sid)["interview_log"])
+    assert n_before == 1
+    page.click("#iv-undo")
+    n_after = len(client.app.state.sessions.load(sid)["interview_log"])
+    assert n_after == 0
+    assert page.maybe("#iv-question-card") is not None
+    assert not page.errors(), page.errors()
+
+
+def test_docs_modal_upload_and_delete_via_ui(client):
+    page = page_for(client)
+    login(page)
+    create_session(page)
+    page.click("#iv-docs-btn")
+    assert page.maybe("#doc-file") is not None
+    # empty submit -> client-side error
+    page.click("#doc-upload")
+    assert "请选择文件" in page.text("#doc-err")
+    # attach a real text file and upload through the multipart bridge
+    page.attach_file("#doc-file", "现状说明.txt",
+                     "现状为三套系统并存，数据口径不一致。" * 30)
+    page.click("#doc-upload")
+    sid = __import__("urllib.parse", fromlist=["unquote"]).unquote(
+        page.location_href.split("#interview/")[1])
+    docs = client.app.state.sessions.load(sid)["reference_materials"]
+    assert len(docs) == 1 and docs[0]["name"].startswith("现状说明")
+    # reopen the modal: chip renders; delete via the chip button
+    page.click("#iv-docs-btn")
+    chip = page.maybe(".doc-chip")
+    assert chip is not None
+    page.confirm_response = True
+    page.click(chip.query_all("button")[0])
+    docs = client.app.state.sessions.load(sid)["reference_materials"]
+    assert docs == []
+    assert not page.errors(), page.errors()
+
+
+def test_assistant_chat_modal_round_trip(client):
+    page = page_for(client)
+    login(page)
+    create_session(page)
+    page.click("#iv-chat-btn")
+    assert page.maybe("#chat-input") is not None
+    page.type_into("#chat-input", "这个问题想问什么？")
+    page.click("#chat-send")
+    log_text = page.text("#chat-log")
+    assert "这个问题想问什么" in log_text        # user turn rendered
+    assert len(log_text.strip()) > 15            # assistant replied
+    assert not page.errors(), page.errors()
+
+
+def test_solution_a5_components_render_in_dom(client):
+    """Every major A.5 component renders as real DOM on the solution
+    page: comparison matrix table, value board columns, chapter strip,
+    narrative outline, hero actions (print), back-top control."""
+    page = page_for(client)
+    login(page)
+    create_session(page, topic="A5组件渲染验证")
+    _run_report_flow(client, page)
+    report_name = page.location_href.split("#report/")[1]
+    sol = BrowserPage(client, f"/solution.html?report={report_name}")
+    body = sol.document.body
+    assert body.query(".hero") is not None
+    comparison = body.query("#comparison")
+    assert comparison is not None and comparison.query("table") is not None
+    vb = body.query("#value-board")
+    assert vb is not None and vb.get_text().strip()
+    assert body.query(".chapter-strip") is not None
+    narrative = body.query("#narrative")
+    assert narrative is not None
+    assert body.query("[data-act=print]") is not None
+    assert body.query(".back-top") is not None
+    assert not sol.errors(), sol.errors()
+
+
+def test_solution_fold_toggle_expands_long_sections(client):
+    page = page_for(client)
+    login(page)
+    create_session(page, topic="折叠段落验证")
+    _run_report_flow(client, page)
+    report_name = page.location_href.split("#report/")[1]
+    sol = BrowserPage(client, f"/solution.html?report={report_name}")
+    toggle = sol.maybe(".fold-toggle")
+    if toggle is None:
+        pytest.skip("template payload below fold threshold")
+    folded = sol.document.body.query(".folded")
+    assert folded is not None
+    sol.click(toggle)
+    assert sol.document.body.query(".folded") is None
+    assert not sol.errors(), sol.errors()
