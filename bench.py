@@ -53,13 +53,13 @@ def question_prompt(i: int, round_no: int, tag: str = "") -> str:
     return build_interview_prompt(session, dim)
 
 
-def report_prompt(i: int) -> str:
+def report_prompt(i: int, n_facts: int = 8) -> str:
     from deepvision_tpu.web.runtime import prompt_formats
 
     facts = [
         (f"Q{k}", f"关于维度{k}的现状与期望？",
          "存在流程断点，期望自动化，预算与时间窗口受限。")
-        for k in range(1, 9)
+        for k in range(1, 1 + n_facts)
     ]
     return prompt_formats.report_draft_prompt(
         f"企业客户关系管理系统（事业部{i}）", facts)
@@ -110,18 +110,30 @@ def _bench_questions(engine, n_sessions, n_threads, max_tokens,
 
 
 def _bench_reports(engine, n_reports, n_threads, max_tokens):
+    """Two drafts per report job under one prefix_key: round 1 prefills
+    the evidence-pack head cold; round 2 re-drafts with a SLIMMED facts
+    list — a strict head-prefix of round 1's prompt, exactly the shape
+    the pipeline's degrading-facts retry and profile-regenerate produce
+    (report_v3.py draft loop; reference retry loop
+    server_modules/report_generation_runtime.py:409-613) — and must hit
+    the radix prefix cache.  Round-5 change: report calls previously ran
+    keyless, so prefix_cache_report was zero by construction."""
     done, errors = [], []
+    prefill_by_round = {1: [], 2: []}
     lock = threading.Lock()
 
     def worker(i):
         try:
-            _, meta = engine.generate_text(
-                report_prompt(i),
-                max_tokens=max_tokens, temperature=0.7, top_k=40,
-                timeout=900, json_mode=True,
-            )
-            with lock:
-                done.append(meta["completion_tokens"])
+            for round_no, n_facts in ((1, 8), (2, 6)):
+                _, meta = engine.generate_text(
+                    report_prompt(i, n_facts=n_facts),
+                    max_tokens=max_tokens, temperature=0.7, top_k=40,
+                    timeout=900, json_mode=True,
+                    prefix_key=f"bench-report-{i}",
+                )
+                with lock:
+                    done.append(meta["completion_tokens"])
+                    prefill_by_round[round_no].append(meta["prefill_ms"])
         except Exception as e:  # noqa: BLE001
             with lock:
                 errors.append(f"{type(e).__name__}: {e}")
@@ -137,7 +149,7 @@ def _bench_reports(engine, n_reports, n_threads, max_tokens):
     for t in threads:
         t.join()
     wall = time.time() - t0
-    return done, errors, wall
+    return done, errors, wall, prefill_by_round
 
 
 def _bench_ingest(n_pages=60):
@@ -432,7 +444,7 @@ def main():
     q_stats = engine_q.stats()
     tokens_q = q_stats["tokens_generated"]
 
-    drafts, r_errors, r_wall = _bench_reports(
+    drafts, r_errors, r_wall, r_prefill_by_round = _bench_reports(
         engine_r, n_reports, r_threads, r_tokens)
     r_stats = engine_r.stats()
     tokens_r = (r_stats["tokens_generated"]
@@ -520,6 +532,12 @@ def main():
         if cold else -1,
         "ttft_warm_p50_ms": round(statistics.median(warm), 1)
         if warm else -1,
+        # cold = round-1 full-facts draft, warm = round-2 slimmed re-draft
+        # sharing the evidence-pack head (report-lane prefix reuse)
+        "report_prefill_cold_p50_ms": round(statistics.median(
+            r_prefill_by_round[1]), 1) if r_prefill_by_round[1] else -1,
+        "report_prefill_warm_p50_ms": round(statistics.median(
+            r_prefill_by_round[2]), 1) if r_prefill_by_round[2] else -1,
         "prefix_cache_question": q_stats.get("prefix_cache"),
         "prefix_cache_report": r_stats.get("prefix_cache")
         if engine_r is not engine_q else None,

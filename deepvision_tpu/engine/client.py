@@ -117,6 +117,11 @@ class ModelGateway:
         self._lane_stats: Dict[str, dict] = {}
         self.adaptive_lane_order = True
         self.ADAPTIVE_MIN_SAMPLES = 6
+        # chunk-embedding LRU (embed_texts); mutated under self._lock —
+        # concurrent assistant-chat requests share the gateway
+        from collections import OrderedDict
+
+        self._embed_cache: "OrderedDict[str, object]" = OrderedDict()
 
     def _record_lane_stat(self, lane: str, ok: bool, ms: float) -> None:
         with self._lock:
@@ -163,13 +168,12 @@ class ModelGateway:
         SAME session chunks every message — an LRU keyed by text caches
         them so a repeat call embeds only the novel texts (usually just
         the query)."""
-        if not hasattr(self, "_embed_cache"):
-            from collections import OrderedDict
-
-            self._embed_cache = OrderedDict()
         cache = self._embed_cache
-        missing = [t for t in dict.fromkeys(texts) if t not in cache]
+        with self._lock:
+            missing = [t for t in dict.fromkeys(texts) if t not in cache]
         if missing:
+            # embedding runs OUTSIDE the lock (device work); duplicate
+            # effort on a rare race is fine, corruption is not
             fresh = None
             for engine in self.engines.values():
                 fn = getattr(engine, "embed_texts", None)
@@ -183,18 +187,20 @@ class ModelGateway:
                     break
             if fresh is None:
                 return None
-            for t, vec in zip(missing, fresh):
-                cache[t] = vec
-            while len(cache) > 512:
-                cache.popitem(last=False)
-        try:
-            import numpy as np
+            with self._lock:
+                for t, vec in zip(missing, fresh):
+                    cache[t] = vec
+                while len(cache) > 512:
+                    cache.popitem(last=False)
+        import numpy as np
 
-            rows = [cache[t] for t in texts]
-        except KeyError:
-            return None
-        for t in texts:
-            cache.move_to_end(t, last=True)
+        with self._lock:
+            try:
+                rows = [cache[t] for t in texts]
+            except KeyError:
+                return None
+            for t in texts:
+                cache.move_to_end(t, last=True)
         return np.stack(rows)
 
     # ------------------------------------------------------------------

@@ -151,8 +151,7 @@ class LLMEngine:
             toks = jnp.asarray([ids, ids[::-1]], jnp.int32)
             self._kv_scales = jax.jit(
                 functools.partial(model_lib.calibrate_kv_scales,
-                                  cfg=self.model_cfg,
-                                  interpret=cfg.interpret)
+                                  cfg=self.model_cfg)
             )(params, toks)
         if cfg.fuse_projections and cfg.tp <= 1:
             from deepvision_tpu.engine.fuse import fuse_params

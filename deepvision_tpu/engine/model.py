@@ -378,7 +378,6 @@ def calibrate_kv_scales(
     *,
     cfg: ModelConfig,
     margin: float = 1.25,
-    interpret: Optional[bool] = None,
 ):
     """Static int8 KV scales from one representative forward.
 

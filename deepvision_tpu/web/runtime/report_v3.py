@@ -90,6 +90,14 @@ def build_evidence_pack(session: dict, facts_limit: int = 40) -> dict:
         for aspect in entry.get("aspects_missing", [])
     ]
     return {
+        # stable per-session key: the gateway derives the engine
+        # prefix-cache key from it, so draft retries / review rounds /
+        # regenerates reuse the evidence-pack head's KV pages instead of
+        # re-prefilling from token zero (reference prompt cache
+        # web/server.py:4920-5012; round-5 fix — report calls previously
+        # passed no session_id, so prefix_cache_report was 0 by
+        # construction)
+        "session_id": session.get("session_id"),
         "topic": session.get("topic", ""),
         "description": session.get("description", ""),
         "scenario_id": session.get("scenario_id"),
@@ -174,6 +182,23 @@ def repair_json_text(text: str) -> str:
                     stack.pop()
         return stack, (start if in_str else -1)
 
+    def _strip_partial_bare_token(s: str) -> str:
+        """Drop a trailing bare token cut mid-literal (``fal``, ``tr``,
+        ``12.``).  A COMPLETE literal (``true``/``false``/``null`` or a
+        valid JSON number) is a legal value and must be kept."""
+        m = re.search(r"([\w.+-]+)\s*$", s)
+        if not m:
+            return s
+        tok = m.group(1)
+        if tok in ("true", "false", "null") or re.fullmatch(
+                r"-?(?:0|[1-9]\d*)(?:\.\d+)?(?:[eE][+-]?\d+)?", tok):
+            return s
+        s = s[: m.start()]
+        # the partial token orphaned its `"key":` (object) or `,` (array)
+        s = re.sub(r"[,\s]*\"[^\"]*\"\s*:\s*$", "", s)
+        s = re.sub(r",\s*$", "", s)
+        return s
+
     s = text
     stack, dangling = scan(s)
     if dangling >= 0:
@@ -182,6 +207,10 @@ def repair_json_text(text: str) -> str:
         s = re.sub(r"[,\s]*\"[^\"]*\"\s*:\s*$", "", s)
         s = re.sub(r"[,\s]*[\w.+-]*\s*$", "", s)
         stack, _ = scan(s)
+    elif stack:
+        # output cut mid bare-token (`{"b": fal`) — no dangling string,
+        # but the tail literal can't parse; strip it with its key/comma
+        s = _strip_partial_bare_token(s)
     closers = {"{": "}", "[": "]"}
     for opener in reversed(stack):
         s = re.sub(r",\s*$", "", s)
@@ -703,7 +732,8 @@ def generate_report_v3(
         try:
             text = gateway.call_model(
                 prompt, call_type="report_draft",
-                context={"topic": pack["topic"], "q_ids": pack["q_ids"]},
+                context={"topic": pack["topic"], "q_ids": pack["q_ids"],
+                         "session_id": pack.get("session_id")},
             )
             draft = parse_structured_json_response(text)
             if draft and all(draft.get(k) for k in DRAFT_REQUIRED_KEYS):
@@ -742,7 +772,8 @@ def generate_report_v3(
         try:
             review_text = gateway.call_model(
                 _review_prompt(draft, issues), call_type="report_review",
-                context={"topic": pack["topic"]},
+                context={"topic": pack["topic"],
+                         "session_id": pack.get("session_id")},
             )
             review = parse_structured_json_response(review_text) or {}
         except Exception:
@@ -758,7 +789,8 @@ def generate_report_v3(
                 fix_text = gateway.call_model(
                     _repair_reprompt(draft, review["issues"]),
                     call_type="report_draft",
-                    context={"topic": pack["topic"]},
+                    context={"topic": pack["topic"],
+                             "session_id": pack.get("session_id")},
                 )
                 fixed = parse_structured_json_response(fix_text)
                 if fixed and all(fixed.get(k) for k in DRAFT_REQUIRED_KEYS):

@@ -80,3 +80,38 @@ def test_repair_survives_cjk_and_escapes():
     out = parse_structured_json_response(text)
     assert out is not None
     assert "40%" in out["overview"]
+
+
+# --- truncation mid bare-token (round-5 advisor finding): the r4 string-
+# aware rewrite handled dangling STRINGS but left a cut literal (`fal`,
+# `tr`, `12.`) in place, so the closed text failed json.loads -----------------
+
+@pytest.mark.parametrize("text,expect", [
+    ('{"a": true, "b": fal', {"a": True}),
+    ('{"b": tr', {}),
+    ('{"score": 12.', {}),
+    ('{"a": 1, "b": nul', {"a": 1}),
+    ('{"a": {"b": fals', {"a": {}}),
+    ('{"xs": [1, 2, fal', {"xs": [1, 2]}),
+    ('{"xs": [tru', {"xs": []}),
+    ('{"score": 1e', {}),
+])
+def test_repair_strips_partial_bare_token(text, expect):
+    import json
+
+    assert json.loads(repair_json_text(text)) == expect
+
+
+@pytest.mark.parametrize("text,expect", [
+    # COMPLETE trailing literals are legal values and must survive
+    ('{"a": true', {"a": True}),
+    ('{"a": false', {"a": False}),
+    ('{"a": null', {"a": None}),
+    ('{"a": 12.5', {"a": 12.5}),
+    ('{"a": -3e2', {"a": -300.0}),
+    ('{"xs": [1, 2', {"xs": [1, 2]}),
+])
+def test_repair_keeps_complete_bare_token(text, expect):
+    import json
+
+    assert json.loads(repair_json_text(text)) == expect

