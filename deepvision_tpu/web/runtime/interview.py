@@ -347,7 +347,22 @@ class TieredQuestionGenerator:
         }
         attempts = 0
         meta: Dict = {"tier_used": None, "selected_lane": None,
-                      "hedge_triggered": False, "fallback_triggered": False}
+                      "hedge_triggered": False, "fallback_triggered": False,
+                      "dedupe_resampled": False}
+
+        def _too_similar(result: dict) -> bool:
+            """Serving-side similarity dedupe (reference question-similarity
+            gate web/server.py:20059): reject a draw that token-overlaps
+            ≥0.75 with any question already asked this session.  The caller
+            resamples ONCE (stochastic decoding gives a fresh draw); a
+            second similar draw is accepted — a near-duplicate beats the
+            rule fallback."""
+            from deepvision_tpu.web.runtime.followup import (
+                question_too_similar,
+            )
+
+            return question_too_similar(result.get("question") or "",
+                                        session)
 
         # --- fast tier ---
         if self.fast_path_enabled() and not is_follow_up:
@@ -364,26 +379,32 @@ class TieredQuestionGenerator:
                 import time as _time
 
                 t0 = _time.monotonic()
-                text, call_meta = self.gateway.call_model(
-                    prompt, call_type="question_fast",
-                    timeout=self.effective_fast_timeout(),
-                    max_tokens=self.fast_max_tokens,
-                    context=context, return_meta=True,
-                )
-                parsed = parse_question_response(text)
-                if parsed:
+                for draw in (0, 1):
+                    text, call_meta = self.gateway.call_model(
+                        prompt, call_type="question_fast",
+                        timeout=self.effective_fast_timeout(),
+                        max_tokens=self.fast_max_tokens,
+                        context=context, return_meta=True,
+                    )
+                    parsed = parse_question_response(text)
+                    if not parsed:
+                        break
                     result = normalize_generated_question_result(
                         parsed, is_follow_up=is_follow_up
                     )
-                    if is_question_acceptable(result):
-                        self._fast_successes += 1
-                        self._record_fast_latency(_time.monotonic() - t0)
-                        meta.update(
-                            tier_used="fast",
-                            selected_lane=call_meta.get("lane"),
-                            attempts=attempts,
-                        )
-                        return result, meta
+                    if not is_question_acceptable(result):
+                        break
+                    if draw == 0 and _too_similar(result):
+                        meta["dedupe_resampled"] = True
+                        continue
+                    self._fast_successes += 1
+                    self._record_fast_latency(_time.monotonic() - t0)
+                    meta.update(
+                        tier_used="fast",
+                        selected_lane=call_meta.get("lane"),
+                        attempts=attempts,
+                    )
+                    return result, meta
             except Exception:
                 pass
 
@@ -398,27 +419,36 @@ class TieredQuestionGenerator:
         )
         call_type = "question_deep" if is_follow_up else "question"
         try:
-            text, call_meta = self.gateway.call_model(
-                prompt, call_type=call_type, context=context,
-                return_meta=True,
-            )
-            parsed = parse_question_response(text)
-            if parsed:
+            for draw in (0, 1):
+                text, call_meta = self.gateway.call_model(
+                    prompt, call_type=call_type, context=context,
+                    return_meta=True,
+                )
+                parsed = parse_question_response(text)
+                if not parsed:
+                    break
                 result = normalize_generated_question_result(
                     parsed, is_follow_up=is_follow_up
                 )
-                if is_question_acceptable(result):
-                    meta.update(
-                        tier_used="full",
-                        selected_lane=call_meta.get("lane"),
-                        attempts=attempts,
-                        # the full tier rescued a request the fast tier
-                        # already burned an attempt on — the local
-                        # analogue of the reference's hedge lane winning
-                        # the race (interview_runtime.py:1284)
-                        hedge_triggered=attempts > 1,
-                    )
-                    return result, meta
+                if not is_question_acceptable(result):
+                    break
+                if draw == 0 and not is_follow_up and _too_similar(result):
+                    # follow-ups legitimately overlap their parent
+                    # question's wording — only first-pass questions
+                    # dedupe against the session history
+                    meta["dedupe_resampled"] = True
+                    continue
+                meta.update(
+                    tier_used="full",
+                    selected_lane=call_meta.get("lane"),
+                    attempts=attempts,
+                    # the full tier rescued a request the fast tier
+                    # already burned an attempt on — the local
+                    # analogue of the reference's hedge lane winning
+                    # the race (interview_runtime.py:1284)
+                    hedge_triggered=attempts > 1,
+                )
+                return result, meta
         except Exception:
             pass
 

@@ -279,6 +279,58 @@ STEMS = [
     "针对{aspect}，合规或审计方面有没有硬性要求？",
     "{aspect}的改进收益您打算如何向管理层证明？",
     "如果分三步走，{aspect}的第一步您会做什么？",
+    # round-5 additions — more stem entropy (EVAL_r04 measured 92-94%
+    # distinct questions at T=0.7: one in 12-16 draws collided; the
+    # reference dedupes near-identical questions at serving,
+    # web/server.py:20059, and the model side of the fix is a corpus
+    # whose question distribution has more mass to spread)
+    "{aspect}从发起到闭环一般要经过几个环节？最慢的是哪一环？",
+    "有没有因为{aspect}错过业务机会的例子？损失怎么算的？",
+    "{aspect}上个季度被讨论得最多的问题是什么？结论落地了吗？",
+    "如果把{aspect}外包出去，您最不放心的是什么？",
+    "{aspect}的例外情况多吗？现在是怎么特批的？",
+    "新员工接手{aspect}一般要多久才能独立上手？卡在哪里？",
+    "{aspect}相关的报表现在谁在看？看完会触发什么动作？",
+    "过去半年{aspect}的投诉或工单量大概是什么量级？",
+    "{aspect}有没有季节性或周期性规律？怎么应对峰值？",
+    "围绕{aspect}，您更看重上线速度还是功能完整度？为什么？",
+    "{aspect}现在最依赖哪个供应商或外部平台？切换成本高吗？",
+    "如果{aspect}必须砍掉一半预算，您会先保住哪部分？",
+    "{aspect}的操作目前在什么终端完成？现场环境有什么限制？",
+    "{aspect}和哪些部门的KPI直接相关？口径有争议吗？",
+    "您理想中{aspect}的日常操作应该几步完成？现在是几步？",
+    "{aspect}出错时的补救流程是什么？平均要花多久？",
+    "有没有为{aspect}定过专项目标？达成情况如何？",
+    "{aspect}的权限现在怎么管？有没有越权或滥用的隐患？",
+    "如果请您给{aspect}的现状打分（1-10），您打几分？差在哪里？",
+    "{aspect}的上线窗口有硬性截止吗？错过会怎样？",
+    "围绕{aspect}，历史上推过几次改造？为什么没成？",
+    "{aspect}的关键数据谁有权修改？修改留痕吗？",
+    "您希望{aspect}多久出一次可核查的进展？以什么形式？",
+    "{aspect}在多地/多法人之间有差异吗？需要统一还是保留？",
+    "针对{aspect}，培训和推广您打算怎么做？谁来负责？",
+    "{aspect}如果做成了，对您个人或团队意味着什么？",
+    "{aspect}相关的线下动作有哪些？哪些必须保留线下？",
+    "要验证{aspect}的改进效果，您会先在哪个场景试点？",
+    "{aspect}的需求里哪些是'必须有'，哪些只是'最好有'？",
+    "竞争对手在{aspect}上的动作，对您的节奏有影响吗？",
+    "{aspect}涉及个人信息或敏感数据吗？脱敏要求是什么？",
+    "如果系统半天不可用，{aspect}会受多大影响？有降级方案吗？",
+    # topic-referencing stems: the topic sits in the prompt head, so the
+    # model learns to weave it in — across-topic draws can then never
+    # collide on exact text (half the eval's collision surface)
+    "结合{topic}的整体目标，{aspect}应该优先到什么程度？",
+    "在{topic}范围内，{aspect}和其他模块的边界怎么划？",
+    "{topic}立项时对{aspect}的预期是什么？现在变了吗？",
+    "就{topic}而言，{aspect}的历史包袱主要是什么？",
+    "如果{topic}只做一期，{aspect}要进一期范围吗？为什么？",
+    "{topic}的干系人里，谁对{aspect}的意见分量最重？",
+    "从{topic}的验收角度看，{aspect}怎样才算合格？",
+    "{topic}上线后，{aspect}的运营由谁接手？准备好了吗？",
+    "在{topic}的预算盘子里，{aspect}大概占多大比例？",
+    "{topic}推进过程中，{aspect}最可能在哪个阶段出风险？",
+    "围绕{topic}，{aspect}需要和哪些存量系统对接？",
+    "如果{topic}延期，{aspect}有没有可以先行的独立价值？",
 ]
 
 # Compositional answer clauses — joined 1-3 per answer with connectors.
@@ -451,11 +503,11 @@ def _fill(rng, template: str) -> str:
 # Example generators — formats mirror the serving prompts
 # --------------------------------------------------------------------------
 
-def _question_json(rng, dim, is_follow_up=False):
+def _question_json(rng, dim, is_follow_up=False, topic=""):
     aspects = dim.get("key_aspects") or [dim.get("name", "核心需求")]
     aspect = rng.choice(aspects)
     q = ("追问：" if is_follow_up else "") + rng.choice(STEMS).format(
-        aspect=aspect)
+        aspect=aspect, topic=topic or rng.choice(TOPICS))
     options = rng.choice(OPTION_BANK)
     return {
         "question": q,
@@ -512,7 +564,7 @@ def gen_question_example(rng, scenarios):
             f"目标是{_short(rng.choice(GOALS), 20)}。")
     for _ in range(n_hist):
         session["interview_log"].append({
-            "question": _question_json(rng, dim)["question"],
+            "question": _question_json(rng, dim, topic=topic)["question"],
             "answer": _answer_text(rng),
         })
     if rng.random() < 0.25:
@@ -526,7 +578,7 @@ def gen_question_example(rng, scenarios):
     focus_aspect = ""
     if rng.random() < 0.2:
         focus_aspect = rng.choice(dim.get("key_aspects") or ["核心需求"])
-    target = _question_json(rng, dim, is_follow_up)
+    target = _question_json(rng, dim, is_follow_up, topic=topic)
     contract = None
     if rng.random() < 0.4:
         contract = {"answer_mode": target["answer_mode"],
@@ -585,7 +637,8 @@ def gen_report_example(rng, scenarios):
         answer = _answer_text(rng)
         if rng.random() < 0.2:   # serving merges rationale_text into 答
             answer += " " + _fill(rng, rng.choice(ANSWER_FOLLOWUPS))
-        facts.append((qid, _question_json(rng, dim)["question"], answer))
+        facts.append((qid, _question_json(rng, dim, topic=topic)["question"],
+                      answer))
     description = (_fill(rng, rng.choice(TOPIC_DESCS))
                    if rng.random() < 0.3 else "")
     documents = None
@@ -821,13 +874,14 @@ def gen_chat_example(rng, scenarios):
     """Assistant chat (web/runtime/assistant.py:154-168 prompt shape)."""
     sc = rng.choice(scenarios)
     dim = rng.choice(sc["dimensions"])
-    cq = _question_json(rng, dim)
+    chat_topic = rng.choice(TOPICS)
+    cq = _question_json(rng, dim, topic=chat_topic)
     aspect = rng.choice(dim.get("key_aspects") or [dim.get("name", "")])
     user_q = rng.choice(CHAT_QUESTIONS)
     parts = [
         "你是访谈助手，帮助受访者理解并回答当前问题。结合上下文给出"
         "简明建议（不超过200字）。",
-        f"访谈主题：{rng.choice(TOPICS)}",
+        f"访谈主题：{chat_topic}",
     ]
     if rng.random() < 0.5:
         parts.append(f"最近问答：\n问：{cq['question']}\n答：{_answer_text(rng)}")

@@ -125,6 +125,13 @@ def pct(k, n):
     return round(100.0 * k / n, 1) if n else 0.0
 
 
+def _question_text(o):
+    try:
+        return str(json.loads(o["text"]).get("question", "")).strip()
+    except (json.JSONDecodeError, AttributeError, TypeError):
+        return ""
+
+
 def score_questions(outs):
     n = len(outs)
     parsed = valid = arity = dedup_pool = 0
@@ -223,8 +230,32 @@ def run_model(model, lane, n, max_tokens, kv_quantize=""):
     eng.start()
     try:
         if lane == "question":
-            outs = generate_all(eng, question_prompts(n), max_tokens)
-            return {"lane": lane, **score_questions(outs)}
+            prompts = question_prompts(n)
+            outs = generate_all(eng, prompts, max_tokens)
+            scores = score_questions(outs)
+            # dedupe-aware pass: serving resamples a draw that collides
+            # with an already-asked question (interview.py dedupe gate,
+            # reference web/server.py:20059) — replay that policy over
+            # the pool (one bounded resample per colliding draw) and
+            # report what the PRODUCT would actually serve
+            seen, dup_idx = set(), []
+            for i, o in enumerate(outs):
+                q = _question_text(o)
+                if q and q in seen:
+                    dup_idx.append(i)
+                seen.add(q)
+            if dup_idx:
+                redraws = generate_all(
+                    eng, [prompts[i] for i in dup_idx], max_tokens)
+                for i, o in zip(dup_idx, redraws):
+                    if _question_text(o) not in seen:
+                        outs[i] = o
+                        seen.add(_question_text(o))
+            served = score_questions(outs)
+            scores["distinct_question_pct_served"] = served[
+                "distinct_question_pct"]
+            scores["dedupe_resamples"] = len(dup_idx)
+            return {"lane": lane, **scores}
         prompts = report_prompts(n)
         outs = generate_all(eng, [p for p, _ in prompts], max_tokens)
         return {"lane": lane,

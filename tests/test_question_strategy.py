@@ -442,3 +442,71 @@ def test_adaptive_order_disabled_passthrough():
     gw = _gateway_with_stats({})
     gw.adaptive_lane_order = False
     assert gw._adaptive_order(["x", "y"]) == ["x", "y"]
+
+
+# ---------------------------------------------------------------------------
+# Serving-side similarity dedupe (reference question-similarity gate
+# web/server.py:20059): a draw that near-duplicates a question already in
+# the session history is resampled once before being served
+# ---------------------------------------------------------------------------
+
+def _q(text):
+    return json.dumps(dict(GOOD, question=text), ensure_ascii=False)
+
+
+def test_dedupe_resamples_similar_question():
+    asked = "在核心痛点方面，您目前遇到的最大挑战是什么？"
+    session = make_session()
+    session["interview_log"] = [
+        {"question": asked, "answer": "回答", "dimension": "customer_needs"}
+    ]
+    draws = iter([_q(asked),  # near-dup of history -> must resample
+                  _q("围绕使用场景，您期望系统自动化到什么程度？")])
+    gw = ScriptedGateway({"question_fast": lambda: next(draws)})
+    gen = TieredQuestionGenerator(gw)
+    result, meta = gen.generate(session, DIM)
+    assert meta["tier_used"] == "fast"
+    assert meta["dedupe_resampled"] is True
+    assert "使用场景" in result["question"]
+    assert [c[0] for c in gw.calls] == ["question_fast", "question_fast"]
+
+
+def test_dedupe_accepts_second_similar_draw():
+    # both draws similar: serve the second anyway (never fall to rules
+    # just because the model repeats itself)
+    asked = "在核心痛点方面，您目前遇到的最大挑战是什么？"
+    session = make_session()
+    session["interview_log"] = [
+        {"question": asked, "answer": "回答", "dimension": "customer_needs"}
+    ]
+    gw = ScriptedGateway({"question_fast": _q(asked)})
+    gen = TieredQuestionGenerator(gw)
+    result, meta = gen.generate(session, DIM)
+    assert meta["tier_used"] == "fast"
+    assert meta["dedupe_resampled"] is True
+    assert result["question"] == asked
+
+
+def test_dedupe_skipped_for_follow_ups():
+    # follow-ups legitimately overlap their parent question's wording
+    asked = "在核心痛点方面，您目前遇到的最大挑战是什么？"
+    session = make_session()
+    session["interview_log"] = [
+        {"question": asked, "answer": "回答", "dimension": "customer_needs"}
+    ]
+    gw = ScriptedGateway({"question_deep": _q("追问：" + asked)})
+    gen = TieredQuestionGenerator(gw)
+    result, meta = gen.generate(session, DIM, is_follow_up=True)
+    assert meta["tier_used"] == "full"
+    assert meta["dedupe_resampled"] is False
+    assert [c[0] for c in gw.calls] == ["question_deep"]
+
+
+def test_distinct_question_served_without_resample():
+    session = make_session(n_log=2)
+    gw = ScriptedGateway({"question_fast": _q(
+        "围绕目标用户，判断好坏的标准是什么？")})
+    gen = TieredQuestionGenerator(gw)
+    _, meta = gen.generate(session, DIM)
+    assert meta["dedupe_resampled"] is False
+    assert [c[0] for c in gw.calls] == ["question_fast"]

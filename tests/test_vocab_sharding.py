@@ -241,3 +241,64 @@ def test_engine_json_mode_parity_tp4_vocab_sharded():
         # grammar guarantee holds for completed generations (random
         # weights may hit max_tokens mid-string — prefix-valid only)
         json.loads(out)
+
+
+# ---------------------------------------------------------------------------
+# Full-mesh serving: all 8 virtual devices form ONE model group — the
+# config a >1-chip model actually serves with (VERDICT r4 #10; the
+# driver dryrun runs the same stage via __graft_entry__.dryrun_multichip)
+# ---------------------------------------------------------------------------
+
+TP8_CFG = ModelConfig(
+    # TP8-able geometry (local 2 q-heads / 1 kv-head)
+    name="dv-tp8-serve-test", vocab_size=512, d_model=128, n_layers=2,
+    n_heads=16, n_kv_heads=8, d_ff=512, head_dim=64, max_seq_len=256,
+)
+
+
+def _engine8(tp, **kw):
+    eng = LLMEngine(EngineConfig(
+        model=TP8_CFG.name, tokenizer="byte",
+        max_slots=2, num_pages=64, page_size=16, max_pages_per_seq=8,
+        tp=tp, interpret=True, seed=0, **kw,
+    ), model_cfg=TP8_CFG)
+    eng.start()
+    return eng
+
+
+def test_engine_greedy_parity_tp8_full_mesh():
+    ref = _engine8(tp=1)
+    try:
+        base, _ = ref.generate_text(PROMPT, max_tokens=16, temperature=0.0,
+                                    timeout=300)
+    finally:
+        ref.shutdown()
+    tp = _engine8(tp=8, vocab_sharded=True)
+    try:
+        assert tp.runner.plan.vocab_sharded is True
+        assert tp.runner.plan.kv_sharded is True
+        out, meta = tp.generate_text(PROMPT, max_tokens=16,
+                                     temperature=0.0, timeout=300)
+    finally:
+        tp.shutdown()
+    assert out == base
+    assert meta["completion_tokens"] >= 1
+
+
+def test_engine_parity_tp8_int8_kv_paged():
+    """int8 KV pools sharded over 8 kv-heads (1 local head per device)
+    reproduce the single-device int8-KV token stream."""
+    ref = _engine8(tp=1, kv_quantize="int8")
+    try:
+        base, _ = ref.generate_text(PROMPT, max_tokens=16, temperature=0.0,
+                                    timeout=300)
+    finally:
+        ref.shutdown()
+    tp = _engine8(tp=8, vocab_sharded=True, kv_quantize="int8")
+    try:
+        out, meta = tp.generate_text(PROMPT, max_tokens=16,
+                                     temperature=0.0, timeout=300)
+    finally:
+        tp.shutdown()
+    assert out == base
+    assert meta["completion_tokens"] >= 1
