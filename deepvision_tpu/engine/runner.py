@@ -55,6 +55,7 @@ class ModelRunner:
         rng_seed: int = 0,
         chunked_prefill: bool = False,
         prefill_chunk_size: int = 256,
+        batch_buckets: Optional[Sequence[int]] = None,
         dfa_table=None,
         dfa_dist=None,
         kv_scales=None,
@@ -84,6 +85,19 @@ class ModelRunner:
         self._no_budget = 1 << 20  # "unlimited" slot budget sentinel
         self.chunked_prefill = chunked_prefill
         self.prefill_chunk_size = prefill_chunk_size
+        # Canonical buckets for the BATCHED admission path.  Every extra
+        # (bucket, B) pair is one more executable to compile cold and to
+        # LOAD through the tunnel on every warm boot (~14 programs x 2
+        # engines made up the round-4 74 s compile tail).  Collapsing the
+        # batched path to two sizes — one short-prompt bucket and the max
+        # context — trades a few ms of padded prefill FLOPs for half the
+        # boot executables and no in-window compiles at odd sizes.
+        max_bucket = cache_cfg.max_pages_per_seq * cache_cfg.page_size
+        if batch_buckets is None:
+            batch_buckets = sorted({min(256, max_bucket), max_bucket})
+        self.batch_buckets = tuple(
+            b for b in sorted(set(batch_buckets)) if b <= max_bucket
+        ) or (max_bucket,)
         self._prefill_chunk_fn = None
         self.cfg = cfg
         self.cache_cfg = cache_cfg
@@ -311,7 +325,14 @@ class ModelRunner:
         B = 1
         while B < n_real:
             B *= 2
-        bucket = pick_bucket(max(len(p) for p in prompts))
+        # canonical batched buckets (see __init__): pad up to one of the
+        # fixed sizes so the compiled-program set stays O(|buckets| x
+        # log B), not O(|prompt lengths| x log B)
+        maxlen = max(len(p) for p in prompts)
+        if maxlen <= self.batch_buckets[-1]:
+            bucket = pick_bucket(maxlen, self.batch_buckets)
+        else:  # longer than max context pages — legacy global buckets
+            bucket = pick_bucket(maxlen)
         page = self.cache_cfg.page_size
         n_chunks = bucket // page
         toks = np.zeros((B, bucket), dtype=np.int32)
