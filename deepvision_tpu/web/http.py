@@ -326,6 +326,39 @@ class HTTPError(Exception):
         self.headers = headers or {}
 
 
+def str_field(body: Any, key: str, default: str = "") -> str:
+    """Body field as a stripped string; non-string scalars coerce, and
+    structured values (list/dict) answer 400 instead of an
+    AttributeError-500 deep in a handler (hostile-body grid,
+    tests/test_api_error_grid.py)."""
+    val = (body or {}).get(key) if isinstance(body, dict) else None
+    if val is None:
+        return default
+    if isinstance(val, str):
+        return val.strip()
+    if isinstance(val, (int, float, bool)):
+        return str(val)
+    raise HTTPError(400, {"error": f"字段 {key} 类型错误"})
+
+
+def int_field(body: Any, key: str, default: int,
+              lo: Optional[int] = None, hi: Optional[int] = None) -> int:
+    """Body field as an int with bounds; un-coercible input answers 400."""
+    val = (body or {}).get(key) if isinstance(body, dict) else None
+    if val is None or val == "":
+        out = default
+    else:
+        try:
+            out = int(val)
+        except (TypeError, ValueError):
+            raise HTTPError(400, {"error": f"字段 {key} 需要整数"})
+    if lo is not None:
+        out = max(lo, out)
+    if hi is not None:
+        out = min(hi, out)
+    return out
+
+
 class App:
     """WSGI application with Flask-style decorators."""
 

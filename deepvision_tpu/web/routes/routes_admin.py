@@ -4,7 +4,7 @@
 from __future__ import annotations
 
 
-from deepvision_tpu.web.http import HTTPError
+from deepvision_tpu.web.http import HTTPError, int_field, str_field
 from deepvision_tpu.web.licensing import LicenseError
 from deepvision_tpu.web.ownership import OwnershipMigrationService
 
@@ -31,11 +31,11 @@ def register(app, state):
     def licenses_batch(req):
         require_admin(state, req)
         body = req.get_json()
-        count = min(500, max(1, int(body.get("count") or 1)))
+        count = int_field(body, "count", 1, lo=1, hi=500)
         codes = state.licenses.batch_generate(
             count,
             level=body.get("level") or "standard",
-            days_valid=int(body.get("days_valid") or 365),
+            days_valid=int_field(body, "days_valid", 365, lo=1),
             batch_id=body.get("batch_id") or "",
         )
         return {"ok": True, "codes": codes, "count": len(codes)}, 201
@@ -149,7 +149,7 @@ def register(app, state):
         require_admin(state, req)
         body = req.get_json()
         ids = body.get("license_ids") or []
-        days = int(body.get("days") or 30)
+        days = int_field(body, "days", 30)
         for lid in ids[:500]:
             state.licenses.extend(int(lid), days)
         return {"ok": True, "extended": len(ids[:500])}
@@ -166,7 +166,7 @@ def register(app, state):
                methods=["POST"])
     def license_extend(req, license_id):
         require_admin(state, req)
-        days = int(req.get_json().get("days") or 30)
+        days = int_field(req.get_json(), "days", 30)
         try:
             return state.licenses.extend(int(license_id), days)
         except LicenseError as e:
@@ -191,7 +191,7 @@ def register(app, state):
         require_admin(state, req)
         from deepvision_tpu.web.levels import LEVELS
 
-        level = (req.get_json().get("level") or "").strip()
+        level = str_field(req.get_json(), "level")
         if level not in LEVELS:
             raise HTTPError(
                 400, {"error": f"level 必须是 {'/'.join(LEVELS)} 之一"})

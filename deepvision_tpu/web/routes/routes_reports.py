@@ -218,6 +218,9 @@ def register(app, state):
     from deepvision_tpu.web.runtime.presentation import PresentationService
 
     presentations = PresentationService(state)
+    # expose for lifecycle management: AppState.shutdown joins the
+    # background deck-render/poll threads so teardown never races them
+    state.presentations = presentations
 
     @app.route("/api/reports/<path:filename>/refly", methods=["POST"])
     def refly_start(req, filename):

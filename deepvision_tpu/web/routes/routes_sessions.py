@@ -11,7 +11,7 @@ import threading
 import time
 from typing import Optional
 
-from deepvision_tpu.web.http import HTTPError
+from deepvision_tpu.web.http import HTTPError, int_field, str_field
 from deepvision_tpu.web.levels import clamp_interview_mode
 from deepvision_tpu.web.metrics import StageTimer
 from deepvision_tpu.web.pagination import (
@@ -68,7 +68,7 @@ def register(app, state):
         user = require_user(state, req)
         require_license(state, req, user)
         body = req.get_json()
-        topic = (body.get("topic") or "").strip()
+        topic = str_field(body, "topic")
         if not topic:
             raise HTTPError(400, {"error": "缺少访谈主题"})
         scenario_id = body.get("scenario_id") or "product-requirement"
@@ -101,7 +101,7 @@ def register(app, state):
             "owner_user_id": str(user["user_id"]),
             "instance_scope": state.instance_scope,
             "topic": topic,
-            "description": (body.get("description") or "").strip(),
+            "description": str_field(body, "description"),
             "interview_mode": mode,
             "created_at": utc_now_iso(),
             "updated_at": utc_now_iso(),
@@ -293,8 +293,8 @@ def register(app, state):
         require_license(state, req, user)
         session = _load_owned(state, session_id, user)
         body = req.get_json()
-        question = (body.get("question") or "").strip()
-        answer = (body.get("answer") or "").strip()
+        question = str_field(body, "question")
+        answer = str_field(body, "answer")
         if not question or not answer:
             raise HTTPError(400, {"error": "缺少问题或回答"})
 
@@ -321,7 +321,7 @@ def register(app, state):
             "answer": answer,
             "dimension": dimension_id,
             "is_follow_up": bool(body.get("is_follow_up")),
-            "follow_up_round": int(body.get("follow_up_round") or 0),
+            "follow_up_round": int_field(body, "follow_up_round", 0),
             "options": body.get("options") or [],
             "multi_select": bool(body.get("multi_select")),
             "answer_mode": body.get("answer_mode") or "pick_with_reason",
@@ -501,7 +501,7 @@ def register(app, state):
         user = require_user(state, req)
         session = _load_owned(state, session_id, user)
         body = req.get_json()
-        message = (body.get("message") or "").strip()
+        message = str_field(body, "message")
         if not message:
             raise HTTPError(400, {"error": "缺少消息内容"})
         # accept both the nested shape and the frontend's flat fields

@@ -89,10 +89,15 @@ class PresentationService:
                               + 2, "source": "local"},
             })
         except Exception as e:  # noqa: BLE001
-            self._save(report_name, {
-                "active": False, "state": "failed", "mode": "local",
-                "error": f"{type(e).__name__}: {e}",
-            })
+            try:
+                self._save(report_name, {
+                    "active": False, "state": "failed", "mode": "local",
+                    "error": f"{type(e).__name__}: {e}",
+                })
+            except Exception:  # noqa: BLE001
+                # app torn down mid-run (tests, shutdown): the store is
+                # gone — nothing left to record the failure into
+                pass
         finally:
             with self._lock:
                 self._threads.pop(report_name, None)
@@ -188,10 +193,13 @@ class PresentationService:
                               ("score", "pages", "url")},
             })
         except Exception as e:  # noqa: BLE001
-            self._save(report_name, {
-                "active": False, "state": "failed",
-                "error": f"{type(e).__name__}: {e}",
-            })
+            try:
+                self._save(report_name, {
+                    "active": False, "state": "failed",
+                    "error": f"{type(e).__name__}: {e}",
+                })
+            except Exception:  # noqa: BLE001
+                pass  # store already torn down (shutdown mid-poll)
         finally:
             with self._lock:
                 self._threads.pop(report_name, None)

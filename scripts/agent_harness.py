@@ -40,6 +40,17 @@ PROFILES = {
             "--gate", "EVAL_r04.json", "--min-schema-valid", "90"]),
         ("static-guardrails", [sys.executable, os.path.join(
             ROOT, "scripts", "agent_static_guardrails.py")]),
+        # route + A.2/A.3/A.5 payload fixtures: drift fails the gate
+        # (update with `agent_contracts.py --update` when intentional)
+        ("contracts", [sys.executable, os.path.join(
+            ROOT, "scripts", "agent_contracts.py")]),
+        # the evaluator's own detectors replayed against the must-fail
+        # corpus — a "passing" must-fail sample = detector regression
+        ("calibration", [sys.executable, os.path.join(
+            ROOT, "scripts", "agent_calibration.py")]),
+        # task-profile data (risk map the other tools consume) stays valid
+        ("profiles", [sys.executable, os.path.join(
+            ROOT, "scripts", "agent_profiles.py"), "validate"]),
         ("browser-smoke", [sys.executable, os.path.join(
             ROOT, "scripts", "agent_browser_smoke.py")]),
         # the frontend EXECUTED in the minijs runtime (reference runs
