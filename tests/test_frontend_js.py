@@ -659,18 +659,48 @@ def test_help_page_serves_with_core_sections(client):
     resp = client.open("/help.html")
     assert resp.status_code == 200
     html = resp.data.decode("utf-8")
-    for needle in ("快速开始", "访谈模式", "报告与导出", "常见问题",
-                   "账号等级与授权", "IntersectionObserver",
-                   'data-theme="dark"'):
+    # round-5 manual: full topic coverage mirroring the reference help
+    # (quick start, levels, modes, evidence, docs, reports, solution,
+    # exports, presentation, admin, troubleshooting, FAQ, privacy)
+    for needle in ("快速开始", "用户等级与授权码", "三种访谈模式",
+                   "证据等级", "参考文档上传", "联网检索", "访谈助手",
+                   "质量评估与修复", "方案页与分享", "演示文稿",
+                   "管理后台", "异常处理", "最佳实践", "常见问题",
+                   "数据与隐私", 'class="doc-toc"', 'class="faq"',
+                   "css/docs.css", 'setAttribute("data-theme"'):
         assert needle in html, needle
+    # every TOC anchor resolves to a section id on the page
+    import re as _re
+
+    for anchor in _re.findall(r'class="doc-toc"[\s\S]*?</nav>', html)[0] \
+            .split('href="#')[1:]:
+        sec_id = anchor.split('"')[0]
+        assert f'id="{sec_id}"' in html, f"dangling TOC anchor #{sec_id}"
+
+
+def test_help_level_table_matches_capability_matrix(client):
+    """The manual's level table must not drift from web/levels.py."""
+    from deepvision_tpu.web.levels import CAPABILITIES
+
+    html = client.open("/help.html").data.decode("utf-8")
+    assert "体验版" in html and "标准版" in html and "专业版" in html
+    # spot-pin the three facts users complain about when the docs lie
+    assert str(CAPABILITIES["experience"]["max_sessions"]) in html  # 5
+    assert str(CAPABILITIES["standard"]["max_sessions"]) in html    # 50
+    assert "docx" in html and "PDF" in html
 
 
 def test_intro_page_serves_with_feature_grid(client):
     resp = client.open("/intro.html")
     assert resp.status_code == 200
     html = resp.data.decode("utf-8")
-    for needle in ("开始访谈", "结构化追问", "本地 TPU 推理", "方案页",
-                   "帮助文档", "五步完成一次调研"):
+    # round-5 landing: methodology principles, feature cards, scenario
+    # chips, persona grid, level plans, FAQ, CTA
+    for needle in ("以选择代替输入", "以追问代替猜测", "以知识代替盲区",
+                   "以体系代替碎片", "智能访谈引擎", "结构化报告",
+                   "可视化增强", "演示文稿生成", "八类内置场景",
+                   "产品经理", "售前顾问", "体验版", "标准版", "专业版",
+                   "私有化友好", "立即开始", "css/docs.css"):
         assert needle in html, needle
 
 
