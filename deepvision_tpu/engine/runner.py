@@ -88,13 +88,21 @@ class ModelRunner:
         # Canonical buckets for the BATCHED admission path.  Every extra
         # (bucket, B) pair is one more executable to compile cold and to
         # LOAD through the tunnel on every warm boot (~14 programs x 2
-        # engines made up the round-4 74 s compile tail).  Collapsing the
-        # batched path to two sizes — one short-prompt bucket and the max
-        # context — trades a few ms of padded prefill FLOPs for half the
-        # boot executables and no in-window compiles at odd sizes.
+        # engines made up the round-4 74 s compile tail).  Default:
+        # pow2 buckets with a 256 FLOOR up to the context max — same
+        # <=2x padding envelope the prompt buckets always had (coarser
+        # sets were tried and rejected: {256, max} pads the app's
+        # ~700-token prompts to the full context, doubling prefill FLOPs
+        # and halving prefill MFU), but the 128 bucket merges into 256
+        # and the warm set is enumerable so warmup covers EXACTLY what
+        # admission can produce.
         max_bucket = cache_cfg.max_pages_per_seq * cache_cfg.page_size
         if batch_buckets is None:
-            batch_buckets = sorted({min(256, max_bucket), max_bucket})
+            batch_buckets, b = [], min(256, max_bucket)
+            while b < max_bucket:
+                batch_buckets.append(b)
+                b *= 2
+            batch_buckets.append(max_bucket)
         self.batch_buckets = tuple(
             b for b in sorted(set(batch_buckets)) if b <= max_bucket
         ) or (max_bucket,)

@@ -96,6 +96,4 @@ def test_long_context_engine_warms_interleave_window():
 
     cache_cfg = CacheConfig(num_pages=8, page_size=64, max_pages_per_seq=128)
     max_bucket = 64 * 128
-    buckets = sorted({min(256, max_bucket), max_bucket})
-    assert buckets == [256, 8192]
     assert max_bucket > 4096  # warmup adds K=1 for this class
