@@ -326,6 +326,17 @@ class HTTPError(Exception):
         self.headers = headers or {}
 
 
+def list_field(body: Any, key: str) -> list:
+    """List field from an untrusted JSON body; non-lists become []
+    (same hostile-body contract as str_field/int_field below —
+    tests/test_mutation_input_grid.py sends every JSON type at every
+    mutating route)."""
+    if not isinstance(body, dict):
+        return []
+    v = body.get(key)
+    return v if isinstance(v, list) else []
+
+
 def str_field(body: Any, key: str, default: str = "") -> str:
     """Body field as a stripped string; non-string scalars coerce, and
     structured values (list/dict) answer 400 instead of an

@@ -4,7 +4,7 @@
 from __future__ import annotations
 
 
-from deepvision_tpu.web.http import HTTPError, int_field, str_field
+from deepvision_tpu.web.http import HTTPError, int_field, list_field, str_field
 from deepvision_tpu.web.licensing import LicenseError
 from deepvision_tpu.web.ownership import OwnershipMigrationService
 
@@ -139,20 +139,30 @@ def register(app, state):
     @app.route("/api/admin/licenses/bulk-revoke", methods=["POST"])
     def licenses_bulk_revoke(req):
         require_admin(state, req)
-        ids = req.get_json().get("license_ids") or []
+        ids = list_field(req.get_json(), "license_ids")
+        done = 0
         for lid in ids[:500]:
-            state.licenses.revoke(int(lid), "bulk")
-        return {"ok": True, "revoked": len(ids[:500])}
+            try:
+                state.licenses.revoke(int(lid), "bulk")
+            except (TypeError, ValueError):
+                continue  # hostile item in an otherwise valid list
+            done += 1
+        return {"ok": True, "revoked": done}
 
     @app.route("/api/admin/licenses/bulk-extend", methods=["POST"])
     def licenses_bulk_extend(req):
         require_admin(state, req)
         body = req.get_json()
-        ids = body.get("license_ids") or []
+        ids = list_field(body, "license_ids")
         days = int_field(body, "days", 30)
+        done = 0
         for lid in ids[:500]:
-            state.licenses.extend(int(lid), days)
-        return {"ok": True, "extended": len(ids[:500])}
+            try:
+                state.licenses.extend(int(lid), days)
+            except (TypeError, ValueError):
+                continue
+            done += 1
+        return {"ok": True, "extended": done}
 
     @app.route("/api/admin/licenses/<int:license_id>/revoke",
                methods=["POST"])

@@ -3,7 +3,7 @@
 from __future__ import annotations
 
 from deepvision_tpu.web.authn import SmsRateLimited
-from deepvision_tpu.web.http import HTTPError
+from deepvision_tpu.web.http import HTTPError, str_field
 from deepvision_tpu.web.levels import capabilities_for
 from deepvision_tpu.web.licensing import LicenseError
 
@@ -13,7 +13,7 @@ def register(app, state):
 
     @app.route("/api/auth/sms/send-code", methods=["POST"])
     def send_code(req):
-        phone = (req.get_json().get("phone") or "").strip()
+        phone = str_field(req.get_json(), "phone")
         if not phone or not phone.replace("+", "").isdigit():
             raise HTTPError(400, {"error": "手机号格式不正确"})
         try:
@@ -27,8 +27,8 @@ def register(app, state):
     @app.route("/api/auth/recover/login", methods=["POST"])
     def login_code(req):
         body = req.get_json()
-        phone = (body.get("phone") or "").strip()
-        code = (body.get("code") or "").strip()
+        phone = str_field(body, "phone")
+        code = str_field(body, "code")
         if not phone or not code:
             raise HTTPError(400, {"error": "缺少手机号或验证码"})
         if not state.auth.verify_sms_code(phone, code):
@@ -39,7 +39,7 @@ def register(app, state):
 
     @app.route("/api/auth/recover/send-code", methods=["POST"])
     def recover_send(req):
-        phone = (req.get_json().get("phone") or "").strip()
+        phone = str_field(req.get_json(), "phone")
         if not phone:
             raise HTTPError(400, {"error": "手机号格式不正确"})
         try:
@@ -161,8 +161,8 @@ def register(app, state):
     def bind_phone(req):
         user = require_user(state, req)
         body = req.get_json()
-        phone = (body.get("phone") or "").strip()
-        code = (body.get("code") or "").strip()
+        phone = str_field(body, "phone")
+        code = str_field(body, "code")
         if not state.auth.verify_sms_code(phone, code):
             raise HTTPError(401, {"error": "验证码错误或已过期"})
         conn = state.auth.conn()
@@ -222,7 +222,7 @@ def register(app, state):
     @app.route("/api/licenses/activate", methods=["POST"])
     def license_activate(req):
         user = require_user(state, req)
-        code = (req.get_json().get("code") or "").strip()
+        code = str_field(req.get_json(), "code")
         if not code:
             raise HTTPError(400, {"error": "缺少激活码"})
         try:

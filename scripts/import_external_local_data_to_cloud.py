@@ -351,6 +351,12 @@ def main():
             print(f"summary cache entries considered: {n}")
 
     # ---- manifest ---------------------------------------------------------
+    # created_at is re-stamped HERE, after the last item was written:
+    # rollback's modified-after-import guard compares each row's
+    # updated_at (stamped per item DURING the import) against this value,
+    # so a start-of-run stamp spuriously flags every import whose wall
+    # clock crossed a second boundary mid-run.
+    manifest["created_at"] = utc_now_iso()
     ops_dir = os.path.join(args.data_dir, "operations")
     os.makedirs(ops_dir, exist_ok=True)
     manifest_path = os.path.join(ops_dir, f"import-{int(time.time())}.json")
