@@ -16,6 +16,7 @@ inference is remote HTTP — reference web/server.py:26860 ``call_claude``):
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import jax
@@ -211,11 +212,15 @@ def forward_prefill(
             k_scale=ksc, v_scale=vsc,
         )
 
+        # block sizes are env-tunable for on-chip A/B (scripts/
+        # exp_round5_perf.py); 128x128 is the measured default
         attn = flash_attention(
             q.transpose(0, 2, 1, 3),
             k.transpose(0, 2, 1, 3),
             v.transpose(0, 2, 1, 3),
             seq_lens,
+            blk_q=int(os.environ.get("DV_FLASH_BLK_Q", "128")),
+            blk_k=int(os.environ.get("DV_FLASH_BLK_K", "128")),
             interpret=interpret,
         )  # [B, Hl, S, HD]
         attn = attn.transpose(0, 2, 1, 3).reshape(

@@ -307,6 +307,12 @@ def _compile_rule(rule: str):
         name = m.group("name")
         if conv == "path":
             pattern += f"(?P<{name}>.+)"
+        elif conv == "static":
+            # like path, but never matches under /api/: the static
+            # catch-all must not swallow API paths, or a wrong-verb API
+            # call gets the file-server's 404 instead of the router's
+            # 405 + Allow (tests/test_method_matrix.py)
+            pattern += f"(?!api/)(?P<{name}>.+)"
         elif conv == "int":
             pattern += f"(?P<{name}>\\d+)"
         else:
@@ -488,6 +494,10 @@ class App:
                 )
             else:
                 resp.delete_cookie(self.session_cookie)
+        if req.method == "HEAD":
+            # HEAD = GET minus the body; Content-Length stays the GET
+            # value per RFC 9110 (header logic already ran on the body)
+            resp.body = b""
         return resp
 
     def _match(self, req: Request):
@@ -497,11 +507,14 @@ class App:
         allowed: List[str] = []
         best = None
         best_score = -1
+        # HEAD routes like GET; _finalize strips the body (werkzeug
+        # semantics the reference app gets from Flask for free)
+        method = "GET" if req.method == "HEAD" else req.method
         for regex, methods, fn, rule in self._routes:
             m = regex.match(req.path)
             if not m:
                 continue
-            if req.method not in methods:
+            if method not in methods:
                 allowed.extend(methods)
                 continue
             score = len(_PARAM_RE.sub("", rule))
@@ -513,7 +526,8 @@ class App:
             params = {k: unquote(v) for k, v in m.groupdict().items()}
             return fn, params, None
         if allowed:
-            raise HTTPError(405)
+            raise HTTPError(405, headers={
+                "Allow": ", ".join(sorted(set(allowed)))})
         raise HTTPError(404)
 
     # -- WSGI -----------------------------------------------------------

@@ -42,10 +42,8 @@ def register(app, state):
         body = "window.SITE_CONFIG = " + json.dumps(cfg, ensure_ascii=False) + ";"
         return Response(body, content_type=_CONTENT_TYPES[".js"])
 
-    @app.route("/<path:filename>")
+    @app.route("/<static:filename>")
     def static_file(req, filename):
-        if filename.startswith("api/"):
-            raise HTTPError(404)
         safe = os.path.normpath(filename)
         if safe.startswith("..") or os.path.isabs(safe):
             raise HTTPError(404)

@@ -33,7 +33,7 @@ PKG = os.path.join(ROOT, "deepvision_tpu")
 PUBLIC_ROUTES = (
     "/",
     "/site-config.js",
-    "/<path:filename>",
+    "/<static:filename>",
     "/api/status",
     "/api/auth/sms/send-code",
     "/api/auth/login/code",

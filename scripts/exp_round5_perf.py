@@ -147,6 +147,19 @@ def section_prefill(ctx, model="dv-1b"):
     ms = _median_call(lambda: run_classic(next(seeds)))
     out["classic_1024_ms"] = round(ms, 1)
     out["classic_1024_mfu"] = mfu(ms)
+    # flash block-size sweep at the same shape (kernel-level lever):
+    # bigger q/k blocks = fewer grid programs + larger MXU contractions
+    import deepvision_tpu.engine.model as _m
+    for bq, bk in ((256, 256), (256, 512), (512, 512)):
+        os.environ["DV_FLASH_BLK_Q"] = str(bq)
+        os.environ["DV_FLASH_BLK_K"] = str(bk)
+        runner._prefill_fns.clear()
+        ms = _median_call(lambda: run_classic(next(seeds)))
+        out[f"classic_1024_blk{bq}x{bk}_ms"] = round(ms, 1)
+        out[f"classic_1024_blk{bq}x{bk}_mfu"] = mfu(ms)
+    os.environ.pop("DV_FLASH_BLK_Q", None)
+    os.environ.pop("DV_FLASH_BLK_K", None)
+    runner._prefill_fns.clear()
     runner.chunked_prefill = True
 
     # batched admission prefill at B in {2, 4}, canonical bucket 1024
@@ -169,6 +182,20 @@ def section_prefill(ctx, model="dv-1b"):
     ms = _median_call(lambda: run_batch(4, next(seeds)))
     out["batch4_768_ms"] = round(ms, 1)
     out["batch4_768_mfu"] = mfu(ms, 4)
+    runner.batch_buckets = (256, 512, 1024, 2048)
+    # the app/bench prompt is ~1800 BYTE tokens (CJK = 3 bytes/char):
+    # batch4 at bucket 2048 is the production admission shape there
+    def run_batch_n(B, n_tok, seed):
+        prompts = [_prompt(n_tok, seed * 100 + i) for i in range(B)]
+        pagess = [alloc.alloc(pages_needed(n_tok + 128, 128))
+                  for _ in range(B)]
+        runner.prefill_batch(prompts, pagess)
+        for p_ in pagess:
+            alloc.free(p_)
+    ms = _median_call(lambda: run_batch_n(4, 1800, next(seeds)))
+    out["batch4_1800tok_2048_ms"] = round(ms, 1)
+    out["batch4_1800tok_2048_mfu"] = round(
+        2.0 * n_params * 1800 * 4 / (ms / 1e3) / V5E_BF16_FLOPS, 3)
     eng.shutdown()
     print(json.dumps(out), flush=True)
 
@@ -240,6 +267,7 @@ def section_decode(ctx, model="dv-1b"):
     out["call_ms_K32"] = round(per_call[32], 2)
     out["fit_call_overhead_ms"] = round(a, 2)
     out["fit_ms_per_step"] = round(b, 2)
+    print(json.dumps(out), flush=True)  # partial: K-sweep done
 
     # ---- per-term in-jit microbenches (fori_loop(32) per call) ------
     N = EXP_N
@@ -278,6 +306,8 @@ def section_decode(ctx, model="dv-1b"):
 
     out["attn_kernel_ms_per_layer"] = round(
         timed_loop(attn_loop, q0, kv0, kp, vp), 3)
+    print(json.dumps({"attn_kernel_ms_per_layer":
+                      out["attn_kernel_ms_per_layer"]}), flush=True)
 
     # (2) per-layer matmuls + elementwise (attention replaced by a
     # zero-cost stub so ONLY projections/MLP/norms are in the loop)
@@ -296,6 +326,8 @@ def section_decode(ctx, model="dv-1b"):
         return jax.lax.fori_loop(0, N, body, x)
 
     out["layer_math_ms_per_layer"] = round(timed_loop(layer_math_loop, x0), 3)
+    print(json.dumps({"layer_math_ms_per_layer":
+                      out["layer_math_ms_per_layer"]}), flush=True)
 
     # (3) final norm + logits matmul [B, D] x [D, V]
     @jax.jit
@@ -308,6 +340,7 @@ def section_decode(ctx, model="dv-1b"):
         return jax.lax.fori_loop(0, N, body, jnp.zeros((), jnp.float32))
 
     out["logits_ms"] = round(timed_loop(logits_loop, x0), 3)
+    print(json.dumps({"logits_ms": out["logits_ms"]}), flush=True)
 
     # (4) embed + constrained sampling (T=0.7 top_k=40 over [B, V])
     jt = jnp.asarray(temps)
@@ -318,14 +351,17 @@ def section_decode(ctx, model="dv-1b"):
     lg0 = jnp.zeros((B, cfg.vocab_size), jnp.float32)
     rng = jax.random.PRNGKey(0)
 
+    # dfa table enters as an ARGUMENT: closed over, the [S, V] table is
+    # baked into the HLO as a literal and the remote compile helper
+    # rejects the oversized request body (HTTP 413, observed)
     @jax.jit
-    def sample_loop(lg, rng):
+    def sample_loop(lg, rng, dfa_table, dfa_dist):
         def body(i, carry):
             acc, rng = carry
             rng, sub = jax.random.split(rng)
             tok, st = sample_tokens_constrained(
-                lg, sub, jt, jk, jp, st0, runner._dfa_table,
-                budgets=buds, dfa_dist=runner._dfa_dist)
+                lg, sub, jt, jk, jp, st0, dfa_table,
+                budgets=buds, dfa_dist=dfa_dist)
             e = model_lib._embed(params, tok, None, False)
             return acc + e[0, 0].astype(jnp.float32), rng
 
@@ -333,7 +369,8 @@ def section_decode(ctx, model="dv-1b"):
             0, N, body, (jnp.zeros((), jnp.float32), rng))
         return acc
 
-    out["sample_embed_ms"] = round(timed_loop(sample_loop, lg0, rng), 3)
+    out["sample_embed_ms"] = round(timed_loop(
+        sample_loop, lg0, rng, runner._dfa_table, runner._dfa_dist), 3)
 
     L = cfg.n_layers
     total = (L * (out["attn_kernel_ms_per_layer"]

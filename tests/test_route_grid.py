@@ -49,7 +49,7 @@ EXTERNAL = "external"  # depends on unconfigured external IdP (WeChat):
 
 GET_CLASSES = {
     "/": STATIC,
-    "/<path:filename>": STATIC,
+    "/<static:filename>": STATIC,
     "/site-config.js": PUBLIC,
     "/api/status": PUBLIC,
     "/api/status/web-search": PUBLIC,
