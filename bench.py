@@ -241,6 +241,40 @@ def _bench_scale(pipeline, chain, quantize="", kv_quantize="",
     prefill_ms = meta["prefill_ms"]
     prompt_tokens = meta["prompt_tokens"]
 
+    # Batched admission prefill — the shape that actually serves the
+    # TTFT burst: under concurrent arrival the scheduler admits up to
+    # prefill_batch_max fresh prompts in ONE runner.prefill_batch
+    # dispatch (engine/scheduler.py _admit), so per-sequence dispatch
+    # amortizes 4x and the MXU sees [4, bucket, D].  prefill_mfu is
+    # computed from THIS path (single-request MFU is dispatch-bound by
+    # the ~20-30 ms tunnel round-trip: r5 on-chip A/B measured 0.095
+    # single vs 0.342 batch4 on identical weights).
+    from deepvision_tpu.engine.kv_cache import pages_needed
+
+    PB = 4
+    tok_ids = eng.tokenizer.encode(prompt)
+    page = eng.cache_cfg.page_size
+    need = pages_needed(len(tok_ids) + page, page)
+
+    def batch_prefill_once(tag):
+        prompts = [eng.tokenizer.encode(f"（并发{tag}{i}）" + prompt)
+                   for i in range(PB)]
+        pagess = [eng.allocator.alloc(need + 1) for _ in range(PB)]
+        t = time.time()
+        eng.runner.prefill_batch(prompts, pagess)
+        dt = time.time() - t
+        for p in pagess:
+            eng.allocator.free(p)
+        return dt, sum(len(p) for p in prompts)
+
+    batch_prefill_once("暖")  # compile/cache-load outside the window
+    best_ms, batch_tokens = 1e9, 0
+    for i in range(3):
+        dt, ntok = batch_prefill_once(i)
+        if dt * 1e3 < best_ms:
+            best_ms, batch_tokens = dt * 1e3, ntok
+    prefill_batch_ms = best_ms
+
     # decode: B concurrent sequences, 256 tokens each
     errors = []
     lock = threading.Lock()
@@ -295,8 +329,11 @@ def _bench_scale(pipeline, chain, quantize="", kv_quantize="",
     kv_bytes = B * (ctx_tokens + 128) * kv_per_tok
     step_floor_ms = (param_bytes + kv_bytes) / V5E_HBM_BYTES_PER_S * 1e3
     prefill_flops = 2 * n_params * prompt_tokens
-    prefill_mfu = (prefill_flops / (prefill_ms / 1e3) / V5E_BF16_FLOPS
-                   if prefill_ms > 0 else 0.0)
+    prefill_mfu_single = (prefill_flops / (prefill_ms / 1e3)
+                          / V5E_BF16_FLOPS if prefill_ms > 0 else 0.0)
+    # headline MFU: the batched admission shape (see batch_prefill_once)
+    prefill_mfu = (2 * n_params * batch_tokens / (prefill_batch_ms / 1e3)
+                   / V5E_BF16_FLOPS if prefill_batch_ms > 0 else 0.0)
     return {
         "model": "dv-1b" + ("-int8" if quantize == "int8" else ""),
         "config": {"K": decode_steps, "page_size": page_size,
@@ -312,7 +349,9 @@ def _bench_scale(pipeline, chain, quantize="", kv_quantize="",
         "decode_roofline_frac": round(step_floor_ms / step_ms, 3)
         if step_ms > 0 else 0.0,
         "prefill_ms_600tok": round(prefill_ms, 1),
+        "prefill_batch4_ms": round(prefill_batch_ms, 1),
         "prefill_mfu": round(prefill_mfu, 3),
+        "prefill_mfu_single": round(prefill_mfu_single, 3),
         "compile_s": round(compile_s, 1),
         "errors": errors[:3],
     }

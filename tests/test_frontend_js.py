@@ -667,7 +667,13 @@ def test_help_page_serves_with_core_sections(client):
                    "质量评估与修复", "方案页与分享", "演示文稿",
                    "管理后台", "异常处理", "最佳实践", "常见问题",
                    "数据与隐私", 'class="doc-toc"', 'class="faq"',
-                   "css/docs.css", 'setAttribute("data-theme"'):
+                   "css/docs.css", 'setAttribute("data-theme"',
+                   # round-5 depth sections (reference help.html parity:
+                   # input templates, parsing rules, profile diffs,
+                   # collaboration, coverage checklist)
+                   "场景输入模板", "行业模板推荐", "文档解析规则",
+                   "报告模板差异", "release-conservative", "协作与复用",
+                   "跨角色协作", "功能覆盖清单", 'class="checklist"'):
         assert needle in html, needle
     # every TOC anchor resolves to a section id on the page
     import re as _re
@@ -690,6 +696,21 @@ def test_help_level_table_matches_capability_matrix(client):
     assert "docx" in html and "PDF" in html
 
 
+def test_help_profile_table_matches_report_profiles(client):
+    """The manual's report-template table must not drift from
+    runtime/report_v3.REPORT_PROFILES."""
+    from deepvision_tpu.web.runtime.report_v3 import REPORT_PROFILES
+
+    html = client.open("/help.html").data.decode("utf-8")
+    for name, cfg in REPORT_PROFILES.items():
+        assert name in html, name
+        row = html.split(f"<b>{name}</b>")[1].split("</tr>")[0]
+        for fact in (cfg["draft_retries"], cfg["review_rounds"],
+                     cfg["facts_limit"]):
+            assert f"<td>{fact}</td>" in row, (name, fact, row)
+        assert f"{cfg['quality_floor']:.2f}" in row, (name, row)
+
+
 def test_intro_page_serves_with_feature_grid(client):
     resp = client.open("/intro.html")
     assert resp.status_code == 200
@@ -700,7 +721,11 @@ def test_intro_page_serves_with_feature_grid(client):
                    "以体系代替碎片", "智能访谈引擎", "结构化报告",
                    "可视化增强", "演示文稿生成", "八类内置场景",
                    "产品经理", "售前顾问", "体验版", "标准版", "专业版",
-                   "私有化友好", "立即开始", "css/docs.css"):
+                   "私有化友好", "立即开始", "css/docs.css",
+                   # round-5 landing depth: workflow + comparison
+                   "从第一问到交付物", 'class="flow-steps"',
+                   "和传统访谈比", 'class="compare-table"',
+                   "盲区清单"):
         assert needle in html, needle
 
 
