@@ -82,6 +82,21 @@ class ModelRunner:
         else:
             dist = np.asarray(dfa_dist, dtype=np.int32)
         self._dfa_dist = jnp.asarray(dist)
+        # Packed grammar table: (min(dist[next], 32767) << 16) |
+        # (next_state + 1).  One row gather in the decode step yields
+        # transition AND force-close distance; the separate elementwise
+        # dfa_dist[rows] gather it replaces was the dominant sampling
+        # cost in the r5 decode anatomy (engine/sampling.py docstring
+        # has the exactness argument for the 32767 clip).
+        assert table.max() < 32766, "packed DFA needs state ids < 32766"
+        # finite close-distances must sit strictly below the 32767 INF
+        # sentinel or the packed force-close comparison loses exactness
+        assert dist[dist < (1 << 20)].max(initial=0) < 32766, \
+            "packed DFA needs finite close-distances < 32766"
+        dist_next = dist[np.maximum(table, 0)]
+        self._dfa_packed = jnp.asarray(
+            ((np.clip(dist_next, 0, 32767).astype(np.int64) << 16)
+             | (table.astype(np.int64) + 1)).astype(np.int32))
         self._no_budget = 1 << 20  # "unlimited" slot budget sentinel
         self.chunked_prefill = chunked_prefill
         self.prefill_chunk_size = prefill_chunk_size
@@ -182,7 +197,7 @@ class ModelRunner:
             )
             tok, _ = sample_tokens_constrained(
                 logits, rng, temp, topk, topp, dstate, dfa,
-                budgets=buds, dfa_dist=ddist,
+                budgets=buds, dfa_dist=ddist, packed=True,
                 axis=axis if vs else None)
             return tok, cache
 
@@ -203,7 +218,7 @@ class ModelRunner:
             )
             tok, _ = sample_tokens_constrained(
                 logits, rng, temp, topk, topp, dstate, dfa,
-                budgets=buds, dfa_dist=ddist,
+                budgets=buds, dfa_dist=ddist, packed=True,
                 axis=axis if vs else None)
             return tok, cache
 
@@ -230,7 +245,7 @@ class ModelRunner:
                 )
                 new, nstates = sample_tokens_constrained(
                     logits, rng_step, temp, topk, topp, states, dfa,
-                    budgets=rem, dfa_dist=ddist,
+                    budgets=rem, dfa_dist=ddist, packed=True,
                     axis=axis if vs else None)
                 return (new, lens + 1, nstates, rem - 1, cache), new
 
@@ -305,7 +320,7 @@ class ModelRunner:
             jnp.asarray([dfa_state], jnp.int32),
             jnp.asarray([budget if budget else self._no_budget], jnp.int32),
             self._dfa_dist,
-            self._dfa_table,
+            self._dfa_packed,
         )
         return int(tok[0])
 
@@ -373,7 +388,7 @@ class ModelRunner:
             jnp.asarray(seq_lens), jnp.asarray(pages), self.next_rng(),
             jnp.asarray(temps), jnp.asarray(tks), jnp.asarray(tps),
             jnp.asarray(dst), jnp.asarray(buds), self._dfa_dist,
-            self._dfa_table,
+            self._dfa_packed,
         )
         out = np.asarray(tok)
         return [int(out[i]) for i in range(n_real)]
@@ -427,7 +442,7 @@ class ModelRunner:
             jnp.asarray([dfa_state], jnp.int32),
             jnp.asarray([budget if budget else self._no_budget], jnp.int32),
             self._dfa_dist,
-            self._dfa_table,
+            self._dfa_packed,
         )
         return int(tok[0]) if sync else tok
 
@@ -519,6 +534,6 @@ class ModelRunner:
             dfa_states,
             jnp.asarray(budgets, jnp.int32),
             self._dfa_dist,
-            self._dfa_table,
+            self._dfa_packed,
         )
         return tok, last_tok, last_state

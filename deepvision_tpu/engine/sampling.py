@@ -61,11 +61,26 @@ def sample_tokens(
         top_vals, top_idx = _global_candidates(logits, axis)
     else:
         k_cand = min(MAX_K, logits.shape[-1])
-        top_vals, top_idx = jax.lax.top_k(logits, k_cand)  # [B, K] descending
+        if logits.shape[-1] >= 8192:
+            # approx_max_k is the TPU-native top-k (bin-wise partial
+            # reduce): the r5 decode anatomy measured exact
+            # lax.top_k(64) over [8, 32k] at 2.3 ms/step — 37% of the
+            # whole dv-1b decode step.  Approximation only affects
+            # which TAIL candidates enter the 64-slot pool (candidates
+            # are already truncated to MAX_K, so far-tail loss is the
+            # sampler's existing contract); greedy stays EXACT via the
+            # argmax below, so T=0 parity/golden replay is unchanged.
+            top_vals, top_idx = jax.lax.approx_max_k(
+                logits, k_cand, recall_target=0.95)
+        else:
+            top_vals, top_idx = jax.lax.top_k(logits, k_cand)
         top_idx = top_idx.astype(jnp.int32)
     k_cand = top_vals.shape[-1]
 
-    greedy = top_idx[:, 0]
+    # exact single-pass argmax (bandwidth-trivial) rather than
+    # top_idx[:, 0], which would inherit approx_max_k's recall
+    greedy = (jnp.argmax(logits, axis=-1).astype(jnp.int32)
+              if axis is None else top_idx[:, 0])
 
     temp = jnp.maximum(temperature, 1e-4)[:, None]
     scaled = top_vals / temp  # [B, K]
@@ -103,6 +118,7 @@ def sample_tokens_constrained(
     dfa_dist: Optional[jax.Array] = None,  # [S] int32 — min tokens from
                                            # each state to ACCEPT
     axis: Optional[str] = None,
+    packed: bool = False,                  # dfa_table is the packed form
 ):
     """Grammar-constrained sampling: logits of forbidden tokens are masked
     before top-k/top-p, and the DFA state advances on-device so fused
@@ -122,12 +138,43 @@ def sample_tokens_constrained(
     Under vocab sharding both the logits and the DFA table arrive as local
     vocab shards; the mask applies shard-locally and the next state is
     resolved by the shard that owns the sampled token (a one-int psum).
+
+    ``packed=True`` (the serving runner's form, see
+    ModelRunner._pack_dfa): ``dfa_table`` carries
+    ``(min(dist[next], 32767) << 16) | (next_state + 1)`` so ONE row
+    gather yields both the transition and its force-close distance.
+    The unpacked path needs a second ELEMENTWISE gather
+    (``dfa_dist[rows]``, 262k random indices at [8, 32k]) which the r5
+    decode anatomy measured as the dominant sampling cost; the packed
+    form turns it into two shifts.  dist clipping at 32767 is exact for
+    every real budget (max_tokens ≤ 4096): the INF sentinel (1<<20)
+    clips to 32767 which still exceeds ``budget - 1``, and for budgets
+    > 32768 — only the "unlimited" 1<<20 sentinel — ``can_close``
+    degenerates to ``allowed`` for reachable and unreachable alike,
+    which is exactly the no-force-close behavior unlimited budgets had.
     """
-    rows = dfa_table[dfa_states]                       # [B, V(_local)]
-    allowed = rows >= 0
-    if budgets is not None and dfa_dist is not None:
-        nxt_dist = dfa_dist[jnp.maximum(rows, 0)]      # [B, V(_local)]
-        can_close = allowed & (nxt_dist <= (budgets - 1)[:, None])
+    if packed:
+        g = dfa_table[dfa_states]                      # [B, V(_local)]
+        rows = (g & 0xFFFF) - 1                        # next state or -1
+        allowed = rows >= 0
+        nxt_dist = g >> 16
+    else:
+        rows = dfa_table[dfa_states]                   # [B, V(_local)]
+        allowed = rows >= 0
+        nxt_dist = None
+    if budgets is not None and (packed or dfa_dist is not None):
+        if packed:
+            # 32767 is the clipped INF sentinel — it must stay
+            # unreachable at ANY budget (the unpacked form bans
+            # dead-state transitions even for "unlimited" slots), so
+            # the BUDGET is clamped below it rather than the dist
+            # remapped; exact for every real close-distance < 32767
+            # (asserted at pack time).
+            bud = jnp.minimum(budgets - 1, 32766)[:, None]
+        else:
+            nxt_dist = dfa_dist[jnp.maximum(rows, 0)]  # [B, V(_local)]
+            bud = (budgets - 1)[:, None]
+        can_close = allowed & (nxt_dist <= bud)
         some = can_close.any(axis=-1, keepdims=True)   # [B, 1]
         if axis is not None:
             some = jax.lax.psum(some.astype(jnp.int32), axis) > 0

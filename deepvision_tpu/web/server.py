@@ -452,6 +452,35 @@ def require_admin(state: AppState, req: Request) -> dict:
     return user
 
 
+# Routes reachable WITHOUT a valid license even under enforcement
+# (reference LICENSE_PUBLIC_API_EXACT_PATHS web/server.py:12831-12838 —
+# health, the license status/activation pair, and admin bootstrap).
+LICENSE_PUBLIC_API_EXACT_PATHS = {
+    "/api/status",
+    "/api/status/web-search",
+    "/api/licenses/current",
+    "/api/licenses/activate",
+    "/api/admin/licenses/bootstrap/status",
+    "/api/admin/licenses/bootstrap",
+}
+
+
+def license_gate_applies(path: str, method: str = "GET") -> bool:
+    """Mirror of reference is_license_protected_route
+    (web/server.py:12841-12851): default-protect the whole /api/
+    surface, allowlist the public/auth/bootstrap exceptions."""
+    if method == "OPTIONS":
+        return False
+    p = (path or "").strip()
+    if not p.startswith("/api/"):
+        return False
+    if p in LICENSE_PUBLIC_API_EXACT_PATHS:
+        return False
+    if p.startswith("/api/public/") or p.startswith("/api/auth/"):
+        return False
+    return True
+
+
 def require_license(state: AppState, req: Request, user: dict) -> None:
     """License gate for protected business routes (reference
     require_valid_license web/server.py:12798)."""
@@ -485,6 +514,34 @@ def create_app(data_dir: Optional[str] = None,
         if req.path.startswith("/api/"):
             state.metrics.incr(f"http_status.{resp.status // 100}xx")
         return resp
+
+    @app.before_request
+    def _license_gate_hook(req: Request):
+        """Default-deny license gate over the whole /api/ surface
+        (reference enforce_auth_for_protected_routes +
+        is_license_protected_route, web/server.py:12841-12894): with
+        enforcement ON, every business API route requires a valid
+        license unless allowlisted — a new route is gated the day it
+        ships instead of opting in.  Per-route ``require_license``
+        calls remain for belt-and-suspenders on the core flow.
+        Auth itself stays per-route (the guard matrix pins each
+        route's 401/403 contract); this hook only answers the
+        license question, and only for logged-in non-admins."""
+        if not license_gate_applies(req.path, req.method):
+            return None
+        if not state.licenses.enforcement_enabled():
+            return None
+        user = current_user(state, req)
+        if user is None:
+            return None  # the route's own require_user answers 401
+        if state.auth.is_admin(user):
+            return None
+        if not state.licenses.user_has_valid_license(user["user_id"]):
+            return Response({
+                "error": "当前账号未激活 License",
+                "license_required": True,
+            }, status=403)
+        return None
 
     from deepvision_tpu.web.routes import (
         routes_admin,

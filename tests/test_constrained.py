@@ -249,3 +249,45 @@ def test_cache_signature_tracks_tokenizer_content(tmp_path):
     # identical tokenizer -> cache hit, no new file
     JsonTokenDfa.build(ByteTokenizer(), cache_dir=str(tmp_path))
     assert set(os.listdir(tmp_path)) == files1
+
+
+def test_packed_table_parity_with_unpacked():
+    """The runner's packed grammar table ((dist<<16)|(state+1), one row
+    gather) must sample EXACTLY like the two-gather unpacked form, for
+    every (budget, state) shape incl. the force-close band and the
+    unlimited sentinel."""
+    import jax
+    import jax.numpy as jnp
+
+    from deepvision_tpu.engine.sampling import sample_tokens_constrained
+
+    rng0 = np.random.default_rng(7)
+    S, V, B = 9, 640, 8
+    table = rng0.integers(-1, S, size=(S, V)).astype(np.int32)
+    table[0, :] = 0  # FREE row: all allowed
+    dist = rng0.integers(0, 6, size=S).astype(np.int32)
+    dist[3] = 1 << 20  # INF sentinel (unreachable-to-ACCEPT state)
+    dist[0] = 0
+    packed = ((np.clip(dist[np.maximum(table, 0)], 0, 32767)
+               .astype(np.int64) << 16)
+              | (table.astype(np.int64) + 1)).astype(np.int32)
+
+    logits = jnp.asarray(rng0.normal(size=(B, V)).astype(np.float32))
+    temp = jnp.asarray([0.0, 0.7, 1.0, 0.3, 0.9, 0.0, 1.2, 0.5],
+                       jnp.float32)
+    topk = jnp.asarray([0, 40, 5, 0, 64, 1, 7, 0], jnp.int32)
+    topp = jnp.asarray([1.0, 0.9, 1.0, 0.5, 0.95, 1.0, 1.0, 0.8],
+                       jnp.float32)
+    states = jnp.asarray([0, 1, 2, 3, 4, 5, 6, 7], jnp.int32)
+    for budget_row in ([1, 2, 3, 4, 5, 6, 7, 1 << 20],
+                       [1 << 20] * 8, [2] * 8):
+        buds = jnp.asarray(budget_row, jnp.int32)
+        key = jax.random.PRNGKey(42)
+        t1, s1 = sample_tokens_constrained(
+            logits, key, temp, topk, topp, states, jnp.asarray(table),
+            budgets=buds, dfa_dist=jnp.asarray(dist))
+        t2, s2 = sample_tokens_constrained(
+            logits, key, temp, topk, topp, states, jnp.asarray(packed),
+            budgets=buds, dfa_dist=jnp.asarray(dist), packed=True)
+        assert np.array_equal(np.asarray(t1), np.asarray(t2)), budget_row
+        assert np.array_equal(np.asarray(s1), np.asarray(s2)), budget_row
