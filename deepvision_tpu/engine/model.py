@@ -212,15 +212,21 @@ def forward_prefill(
             k_scale=ksc, v_scale=vsc,
         )
 
-        # block sizes are env-tunable for on-chip A/B (scripts/
-        # exp_round5_perf.py); 128x128 is the measured default
+        # Serving flash blocks: the r5 on-chip sweep measured 512x512
+        # 31% faster than 128x128 at the batch4@2048 admission shape
+        # (193.5 -> 133.2 ms; 256x256 within 6% of best) — bigger
+        # blocks mean fewer grid programs and fuller MXU contractions.
+        # Default: the largest of 512/256/128 that divides the padded
+        # bucket (Mosaic needs whole blocks); env-overridable for A/B
+        # (scripts/exp_round5_perf.py).
+        fblk = 512 if S % 512 == 0 else (256 if S % 256 == 0 else 128)
         attn = flash_attention(
             q.transpose(0, 2, 1, 3),
             k.transpose(0, 2, 1, 3),
             v.transpose(0, 2, 1, 3),
             seq_lens,
-            blk_q=int(os.environ.get("DV_FLASH_BLK_Q", "128")),
-            blk_k=int(os.environ.get("DV_FLASH_BLK_K", "128")),
+            blk_q=int(os.environ.get("DV_FLASH_BLK_Q", str(fblk))),
+            blk_k=int(os.environ.get("DV_FLASH_BLK_K", str(fblk))),
             interpret=interpret,
         )  # [B, Hl, S, HD]
         attn = attn.transpose(0, 2, 1, 3).reshape(

@@ -48,14 +48,27 @@ def convert_to_markdown(filename: str, data: bytes) -> str:
     if name.endswith((".md", ".markdown", ".txt", ".csv", ".json")):
         return data.decode("utf-8", "replace")
     if name.endswith(".docx"):
-        return _docx_to_markdown(data)
-    if name.endswith(".xlsx"):
-        return _xlsx_to_markdown(data)
-    if name.endswith(".pptx"):
-        return _pptx_to_markdown(data)
-    if name.endswith(".pdf"):
-        return _pdf_to_text(data)
-    raise ConversionError(f"unsupported file type: {filename}")
+        conv = _docx_to_markdown
+    elif name.endswith(".xlsx"):
+        conv = _xlsx_to_markdown
+    elif name.endswith(".pptx"):
+        conv = _pptx_to_markdown
+    elif name.endswith(".pdf"):
+        conv = _pdf_to_text
+    else:
+        raise ConversionError(f"unsupported file type: {filename}")
+    try:
+        return conv(data)
+    except ConversionError:
+        raise
+    except Exception as e:  # noqa: BLE001 — attacker-supplied bytes:
+        # any parser escape (ElementTree.ParseError on malformed XML,
+        # zlib.error on corrupt members read AFTER the zip open, struct
+        # errors in pdf offsets, recursion limits) is a client-input
+        # problem, not a server fault (tests/test_doc_converter_fuzz.py)
+        raise ConversionError(
+            f"unreadable {filename.rsplit('.', 1)[-1]}: "
+            f"{type(e).__name__}: {e}") from e
 
 
 _W_NS = "{http://schemas.openxmlformats.org/wordprocessingml/2006/main}"

@@ -78,15 +78,24 @@ class BrowserPage:
         assert resp.status_code == 200, (path, resp.status_code)
         html = resp.data.decode("utf-8")
         body_html = re.search(r"<body>(.*)</body>", html, re.S).group(1)
-        # strip script tags from the DOM body, execute them in order
+        # strip script tags from the DOM body, execute them in order:
+        # src modules first, then inline <script> bodies (the docs
+        # pages — help/intro/solution — carry their behavior inline;
+        # before round 5 these were silently skipped AND their source
+        # leaked into the DOM as text)
         srcs = re.findall(r'<script src="([^"]+)"></script>', body_html)
+        inline = re.findall(r"<script>(.*?)</script>", body_html, re.S)
         body_html = re.sub(r"<script[^>]*></script>", "", body_html)
+        body_html = re.sub(r"<script>.*?</script>", "", body_html,
+                           flags=re.S)
         self.document.body.set_inner_html(body_html)
         title = re.search(r"<title>(.*?)</title>", html, re.S)
         if title:
             self.document.props["title"] = title.group(1)
         for src in srcs:
             self.run_script(src)
+        for i, code in enumerate(inline):
+            self.interp.run(code, f"{path.split('#')[0]}-inline-{i}.js")
         dispatch_event(self.interp, self.document, "DOMContentLoaded")
         self.settle()
 

@@ -644,10 +644,24 @@ def install(interp):
         lambda i, t, a: JSArray([UNDEF] * int(js_num(a[0])))
         if len(a) == 1 and isinstance(a[0], float) else JSArray(a),
         "Array")
+    def _proto_slice(i, this, a):
+        # Array.prototype.slice.call(arrayLike) — the classic NodeList
+        # -> Array idiom the docs pages' inline scripts use
+        if isinstance(this, JSArray):
+            seq = this.items
+        elif isinstance(this, str):
+            seq = list(this)
+        else:
+            seq = list(getattr(this, "items", []) or [])
+        return _slice(list(seq), a)
+
     arr_ns.props.update({
         "isArray": NativeFunction(
             lambda i, t, a: isinstance(_arg(a, 0), JSArray), "isArray"),
         "from": NativeFunction(_array_from, "from"),
+        "prototype": JSObject({
+            "slice": NativeFunction(_proto_slice, "slice"),
+        }),
     })
     g.declare("Array", arr_ns)
 

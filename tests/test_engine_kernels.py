@@ -93,3 +93,27 @@ def test_paged_attention_mqa_single_kv_head():
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(ref), rtol=2e-3, atol=2e-3
     )
+
+
+@pytest.mark.parametrize("blk,S", [(256, 512), (512, 512), (512, 1024)])
+def test_flash_attention_large_blocks_match_reference(blk, S):
+    """The r5 serving default picks 512/256 blocks for big buckets
+    (model.forward_prefill); parity must hold with ragged seq_lens
+    shorter than one block."""
+    B, H, KV, HD = 2, 4, 2, 64
+    key = jax.random.PRNGKey(3)
+    kq, kk, kv_ = jax.random.split(key, 3)
+    q = jax.random.normal(kq, (B, H, S, HD), jnp.float32)
+    k = jax.random.normal(kk, (B, KV, S, HD), jnp.float32)
+    v = jax.random.normal(kv_, (B, KV, S, HD), jnp.float32)
+    seq_lens = [S - 7, 33]  # one near-full, one far below blk
+    lens = jnp.asarray(seq_lens, jnp.int32)
+    out = flash_attention(q, k, v, lens, blk_q=blk, blk_k=blk,
+                          interpret=True)
+    ref = flash_attention_reference(q, k, v, lens)
+    for b in range(B):
+        n = seq_lens[b]
+        np.testing.assert_allclose(
+            np.asarray(out)[b, :, :n], np.asarray(ref)[b, :, :n],
+            rtol=2e-3, atol=2e-3,
+        )

@@ -881,3 +881,39 @@ def test_solution_fold_toggle_expands_long_sections(client):
     sol.click(toggle)
     assert sol.document.body.query(".folded") is None
     assert not sol.errors(), sol.errors()
+
+
+def test_help_page_executes_and_new_sections_are_live(client):
+    """Round-5 manual depth, EXECUTED: the help page loads under minijs
+    with its inline script running — the new sections are reachable DOM,
+    not just served bytes."""
+    page = page_for(client, "/help.html")
+    assert not page.errors(), page.errors()
+    # coverage checklist rendered as a grid of items
+    checklists = page.document.query_all(".checklist")
+    assert len(checklists) >= 5
+    items = [li for ul in checklists for li in ul.query_all("li")]
+    assert len(items) >= 19
+    # profile-difference table carries all three profiles
+    body = page.body_html()
+    for prof in ("balanced", "quality", "release-conservative"):
+        assert prof in body
+    # every new TOC anchor resolves to a live element
+    for anchor in ("scenario-templates", "doc-parsing", "report-profiles",
+                   "collaboration", "coverage"):
+        assert page.maybe(f"#{anchor}") is not None, anchor
+    # theme toggle works on the docs pages too
+    page.click("#theme-toggle")
+    assert page._ls_store.get("dv-theme") == "dark"
+
+
+def test_intro_page_executes_with_workflow_and_comparison(client):
+    page = page_for(client, "/intro.html")
+    assert not page.errors(), page.errors()
+    steps = page.document.query_all(".flow-steps li")
+    assert len(steps) == 4
+    rows = page.document.query_all(".compare-table tr")
+    assert len(rows) >= 7  # header + 6 dimensions
+    # each step has a heading and body
+    for li in steps:
+        assert li.query("h4") is not None and li.query("p") is not None

@@ -62,10 +62,20 @@ def _fill(rule):
             .replace("<int:user_id>", "1"))
 
 
+# the sweep drives ONE logged-in client across every route; auth routes
+# that destroy or rebind the very session doing the sweeping are
+# exercised by their own suites (they are allowlisted from the gate
+# either way — pinned in test_rule_mirror_matches_reference_semantics)
+SESSION_DESTROYING = {
+    "/api/auth/logout", "/api/auth/account-merge/apply",
+    "/api/auth/bind/phone",
+}
+
+
 def _api_routes(app):
     out = []
     for _r, methods, _f, rule in app._routes:
-        if not rule.startswith("/api/"):
+        if not rule.startswith("/api/") or rule in SESSION_DESTROYING:
             continue
         for m in sorted(set(methods) - {"HEAD", "OPTIONS"}):
             out.append((m, rule))

@@ -101,6 +101,14 @@ def test_document_name_traversal_blocked(client):
         "topic": "t", "scenario_id": "product-requirement"})
     sid = r.get_json()["session_id"]
     r = client.get(f"/api/sessions/{sid}/documents/..%2F..%2Fsecrets.txt")
+    # 405: the documents item route is DELETE-only, and since round 5 the
+    # static catch-all no longer swallows GET /api/* (the router answers
+    # method-not-allowed instead of the file server's 404) — either way
+    # no file content is reachable
+    assert r.status_code in (400, 404, 405)
+    r = client.open(
+        f"/api/sessions/{sid}/documents/..%2F..%2Fsecrets.txt",
+        method="DELETE")
     assert r.status_code in (400, 404)
 
 
