@@ -283,6 +283,15 @@ class ReportStore:
                     len(content.encode("utf-8")), now, now,
                 ),
             )
+            # a fresh save RESURRECTS a previously-deleted name: clearing
+            # report_index.deleted alone is not enough because is_deleted()
+            # consults the tombstone map — without this, regenerating a
+            # report after deleting it 404s forever
+            # (tests/test_report_versioning_grid.py caught it)
+            self.meta.execute(
+                "DELETE FROM report_meta_deletions WHERE report_name = ?",
+                (report_name,),
+            )
             if owner_user_id is not None:
                 self.meta.execute(
                     "INSERT INTO report_meta_owners (report_name, owner_user_id)"
