@@ -116,15 +116,34 @@ class LocalObjectStore:
         self.root = root
         os.makedirs(root, exist_ok=True)
 
+    def _path(self, key: str) -> str:
+        """Resolve a key STRICTLY inside the root.  Keys are normally
+        built from validated names (stores.is_safe_name), but the store
+        is also reachable from the sync CLI with operator input —
+        absolute keys and dot-dot segments must not escape
+        (tests/test_object_storage.py caught ../ writing outside)."""
+        raw = key.replace("\\", "/")
+        if raw.startswith("/"):
+            raise ValueError(f"unsafe object key: {key!r}")
+        norm = os.path.normpath(raw)
+        if norm.startswith("..") or os.path.isabs(norm):
+            raise ValueError(f"unsafe object key: {key!r}")
+        path = os.path.join(self.root, norm)
+        if os.path.commonpath([os.path.abspath(path),
+                               os.path.abspath(self.root)]) != \
+                os.path.abspath(self.root):
+            raise ValueError(f"unsafe object key: {key!r}")
+        return path
+
     def put_object(self, key: str, data: bytes,
                    content_type: str = "") -> None:
-        path = os.path.join(self.root, key)
+        path = self._path(key)
         os.makedirs(os.path.dirname(path) or self.root, exist_ok=True)
         with open(path, "wb") as fh:
             fh.write(data)
 
     def get_object(self, key: str) -> bytes:
-        with open(os.path.join(self.root, key), "rb") as fh:
+        with open(self._path(key), "rb") as fh:
             return fh.read()
 
     def list_keys(self, prefix: str = "") -> List[str]:
