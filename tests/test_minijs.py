@@ -391,3 +391,38 @@ def test_dataset_camel_case_mapping():
     assert a.dataset.js_get(it, "reportName") == "r.md"
     a.dataset.js_set(it, "actKind", "share")
     assert a.attrs["data-act-kind"] == "share"
+
+
+def test_array_prototype_slice_call_arraylike():
+    """The NodeList->Array idiom the docs pages' inline scripts use
+    (round 5: inline <script> bodies execute; Array.prototype.slice
+    gained .call support)."""
+    src = """
+      var arr = Array.prototype.slice.call([1, 2, 3, 4], 1, 3);
+      var s = Array.prototype.slice.call("abc");
+      const out = arr.length + ":" + arr[0] + arr[1] + ":" + s.length;
+    """
+    assert text(src) == "2:23:3"
+
+
+def test_array_prototype_slice_negative_and_copy():
+    src = """
+      var base = [1, 2, 3];
+      var copy = Array.prototype.slice.call(base);
+      copy.push(4);
+      const out = base.length + ":" + copy.length + ":" +
+          Array.prototype.slice.call([5, 6, 7], -2).join(",");
+    """
+    assert text(src) == "3:4:6,7"
+
+
+def test_iife_chain_like_docs_pages():
+    """Two IIFEs sharing document-level state — the docs pages' inline
+    module pattern (theme toggle + scroll spy in separate closures)."""
+    src = """
+      var shared = {n: 0};
+      (function () { shared.n += 1; })();
+      (function () { shared.n += 10; })();
+      const out = shared.n;
+    """
+    assert text(src) == "11"
